@@ -1,0 +1,206 @@
+"""DiskANN-class backend: PQ-steered traversal + deferred exact rerank.
+
+Capability parity with the reference DiskANN backend
+(diskann_backend.py:130-471 + forked-DiskANN C++), TPU-first:
+
+  * build: same batched Vamana-style graph as the hnsw backend (DiskANN *is*
+    Vamana), PQ pivots/codes always trained (the reference keeps
+    `_pq_pivots.bin`/`_pq_compressed.bin` and deletes the full-precision
+    `_disk.index` when recompute is on — diskann_backend.py:145-208). Here
+    compact is the only mode: embeddings are never stored.
+  * LDG graph partitioning (partition.py) replaces the C++ ``partitioner`` /
+    ``index_relayout`` pair; the partition id is the device-shard assignment
+    for multi-chip search rather than a disk page layout.
+  * search: traversal runs entirely on PQ-ADC distances; when
+    ``recompute_embeddings`` is on, the final candidate set is re-encoded
+    on-chip in ONE batch and reranked — exactly the deferred-fetch strategy
+    (diskann_backend.py:444-449) without the ZMQ/protobuf hop.
+    ``beam_width`` parity: wider beam = more parallel expansions per hop.
+
+On-disk payload: ``<prefix>.diskann.npz`` + ``<prefix>.partition.npy``.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...interface import (
+    LeannBackendBuilderInterface,
+    LeannBackendFactoryInterface,
+    LeannBackendSearcherInterface,
+)
+from ...ops.beam_search import BeamConfig, GraphData, beam_search_batch
+from ...ops.graph import build_graph
+from ...ops.pq import choose_m, encode_pq_blocked, train_pq
+from ...registry import register_backend
+from ..common import BaseSearcher, save_ids
+from ..hnsw.backend import _entry_points
+from .partition import edge_locality, ldg_partition
+
+logger = logging.getLogger(__name__)
+
+
+class DiskannBuilder(LeannBackendBuilderInterface):
+    def __init__(
+        self,
+        distance_metric: str = "mips",
+        is_compact: bool = True,
+        is_recompute: bool = True,
+        graph_degree: int = 32,  # reference R (diskann_backend.py:258)
+        complexity: int = 64,  # reference build complexity
+        alpha: float = 1.2,
+        pq_subspaces: int = 0,
+        num_partitions: int = 0,  # 0 = auto (device count), parity: LDG gp
+        partition_passes: int = 10,  # reference gp_times=10
+        **kwargs,
+    ):
+        self.distance_metric = distance_metric
+        self.is_recompute = is_recompute
+        self.graph_degree = graph_degree
+        self.complexity = complexity
+        self.alpha = alpha
+        self.pq_subspaces = pq_subspaces
+        self.num_partitions = num_partitions
+        self.partition_passes = partition_passes
+
+    def build(self, data: np.ndarray, ids: list, index_path: str, **kwargs) -> None:
+        data = np.ascontiguousarray(data, dtype=np.float32)
+        n, d = data.shape
+        r = self.graph_degree
+        cand_factor = max(2, min(8, self.complexity // max(r, 1)))
+        neighbors, medoid = build_graph(data, r=r, candidate_factor=cand_factor, alpha=self.alpha)
+        m = choose_m(d, self.pq_subspaces)
+        codebooks = train_pq(data, m=m)
+        codes = encode_pq_blocked(data, codebooks)
+        payload = {
+            "neighbors": neighbors,
+            "medoid": np.int32(medoid),
+            "entries": _entry_points(medoid, n),
+            "metric": self.distance_metric,
+            "dim": np.int32(d),
+            "codebooks": codebooks,
+            "codes": codes,
+            "is_recompute": self.is_recompute,
+        }
+        if not self.is_recompute:
+            payload["embeddings"] = data
+        np.savez(f"{index_path}.diskann.npz", **payload)
+        n_parts = self.num_partitions
+        if n_parts <= 0:
+            import jax
+
+            n_parts = max(1, len(jax.devices()))
+        assign = ldg_partition(neighbors, n_parts, passes=self.partition_passes)
+        np.save(f"{index_path}.partition.npy", assign)
+        logger.info(
+            "diskann build: N=%d R=%d M(pq)=%d parts=%d locality=%.2f",
+            n, r, m, n_parts, edge_locality(neighbors, assign),
+        )
+        save_ids(index_path, ids)
+
+
+class DiskannSearcher(BaseSearcher, LeannBackendSearcherInterface):
+    def __init__(self, index_path: str, **kwargs):
+        super().__init__(index_path, **kwargs)
+        z = np.load(f"{index_path}.diskann.npz", allow_pickle=False)
+        self.neighbors = jnp.asarray(z["neighbors"])
+        self.entries = np.asarray(z["entries"])
+        self.metric = str(z["metric"])
+        self.n = int(self.neighbors.shape[0])
+        dummy = jnp.zeros((1, 1), jnp.float32)
+        self.codes = jnp.asarray(z["codes"])
+        self.codebooks = jnp.asarray(z["codebooks"])
+        self.emb = jnp.asarray(z["embeddings"]) if "embeddings" in z else dummy
+        tok = self.load_tokens()
+        if tok is not None:
+            self.tokens = jnp.asarray(tok[0])
+            self.lengths = jnp.asarray(tok[1])
+            self.has_tokens = True
+        else:
+            self.tokens = jnp.zeros((1, 1), jnp.int32)
+            self.lengths = jnp.zeros((1,), jnp.int32)
+            self.has_tokens = False
+        self._enc = None
+
+    def _encoder(self):
+        if self._enc is None:
+            from ...embeddings.encoder import get_encoder
+
+            self._enc = get_encoder(self.embedding_model, max_length=self.max_length)
+        return self._enc
+
+    def search(
+        self,
+        query: np.ndarray,
+        top_k: int,
+        *,
+        complexity: int = 64,
+        beam_width: int = 4,
+        prune_ratio: float = 0.0,
+        recompute_embeddings: bool = True,
+        pruning_strategy: str = "global",
+        batch_size: int = 0,
+        zmq_port: Optional[int] = None,
+        **kwargs,
+    ) -> Dict[str, np.ndarray]:
+        if pruning_strategy == "proportional":
+            # parity: unsupported on DiskANN (diskann_backend.py:429-433)
+            raise ValueError("pruning_strategy='proportional' is not supported by the diskann backend")
+        q = jnp.asarray(np.ascontiguousarray(query, dtype=np.float32))
+        l = max(complexity, top_k, beam_width)
+        beam = max(1, min(beam_width, l))
+        enc_params = None
+        enc_cfg = None
+        rerank = 0
+        rerank_source = "recompute"
+        if recompute_embeddings:
+            if self.has_tokens:
+                enc = self._encoder()
+                enc_params, enc_cfg = enc.params, enc.cfg
+                rerank = l  # deferred fetch: one exact pass over the pool
+            elif self.emb.shape != (1, 1):
+                rerank = l  # exact rerank from stored embeddings
+                rerank_source = "stored"
+            else:
+                raise RuntimeError("recompute requested but index has no token store")
+        cfg = BeamConfig(
+            metric=self.metric,
+            k=top_k,
+            complexity=l,
+            beam=beam,
+            max_steps=max(8, l),
+            traversal="pq",
+            prune_keep=0,
+            rerank=rerank,
+            rerank_source=rerank_source,
+            normalize=(self.metric == "cosine"),
+            enc_cfg=enc_cfg,
+        )
+        labels, dists, steps = beam_search_batch(q, self._graph_data(), cfg, enc_params)
+        return {"labels": np.asarray(labels), "distances": np.asarray(dists)}
+
+    def _graph_data(self) -> GraphData:
+        return GraphData(
+            neighbors=self.neighbors,
+            entry_ids=jnp.asarray(self.entries),
+            emb=self.emb,
+            tokens=self.tokens,
+            lengths=self.lengths,
+            codes=self.codes,
+            codebooks=self.codebooks,
+        )
+
+
+@register_backend("diskann")
+class DiskannBackendFactory(LeannBackendFactoryInterface):
+    @staticmethod
+    def builder(**kwargs) -> DiskannBuilder:
+        return DiskannBuilder(**kwargs)
+
+    @staticmethod
+    def searcher(index_path: str, **kwargs) -> DiskannSearcher:
+        return DiskannSearcher(index_path, **kwargs)

@@ -1,0 +1,70 @@
+"""Flat (exact brute-force) backend — the TPU analog of a faiss flat index.
+
+One MXU matmul + top-k over the whole corpus per query batch. Serves three
+roles: (1) the minimal end-to-end slice of the framework, (2) the ground-truth
+oracle for graph-backend recall tests (the reference compares against flat
+faiss in benchmarks/run_evaluation.py:358-367), (3) the storage-baseline for
+the savings accounting (README.md:683-687 "traditional vector DB" column).
+
+Embeddings live in HBM padded to lane multiples; queries stream through one
+jitted program per (k,) so repeat searches hit the compile cache.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..interface import (
+    LeannBackendBuilderInterface,
+    LeannBackendFactoryInterface,
+    LeannBackendSearcherInterface,
+)
+from ..ops.distance import flat_search
+from ..registry import register_backend
+from .common import BaseSearcher, round_up, save_ids
+
+logger = logging.getLogger(__name__)
+
+
+class FlatBuilder(LeannBackendBuilderInterface):
+    def __init__(self, distance_metric: str = "mips", **kwargs):
+        self.distance_metric = distance_metric
+
+    def build(self, data: np.ndarray, ids: list, index_path: str, **kwargs) -> None:
+        data = np.ascontiguousarray(data, dtype=np.float32)
+        np.savez(f"{index_path}.flat.npz", embeddings=data, metric=self.distance_metric)
+        save_ids(index_path, ids)
+
+
+class FlatSearcher(BaseSearcher, LeannBackendSearcherInterface):
+    def __init__(self, index_path: str, **kwargs):
+        super().__init__(index_path, **kwargs)
+        z = np.load(f"{index_path}.flat.npz")
+        emb = z["embeddings"]
+        self.metric = str(z["metric"])
+        self.n = emb.shape[0]
+        n_pad = round_up(self.n, 128)
+        if n_pad != self.n:
+            emb = np.concatenate([emb, np.zeros((n_pad - self.n, emb.shape[1]), np.float32)])
+        self._emb = jnp.asarray(emb)  # resident in HBM
+        self._valid_n = jnp.int32(self.n)
+
+    def search(self, query: np.ndarray, top_k: int, **kwargs) -> Dict[str, np.ndarray]:
+        q = jnp.asarray(np.ascontiguousarray(query, dtype=np.float32))
+        labels, dists = flat_search(self._emb, q, self._valid_n, min(top_k, self.n), self.metric)
+        return {"labels": np.asarray(labels), "distances": np.asarray(dists)}
+
+
+@register_backend("flat")
+class FlatBackendFactory(LeannBackendFactoryInterface):
+    @staticmethod
+    def builder(**kwargs) -> FlatBuilder:
+        return FlatBuilder(**kwargs)
+
+    @staticmethod
+    def searcher(index_path: str, **kwargs) -> FlatSearcher:
+        return FlatSearcher(index_path, **kwargs)

@@ -1,0 +1,221 @@
+"""HNSW-class graph backend: HBM-resident fixed-degree graph + fused search.
+
+Capability parity with the reference HNSW backend (hnsw_backend.py:38-253 and
+its forked-faiss C++ beam search), re-designed TPU-first:
+
+  * build: batched k-NN + α-robust-prune (ops/graph.py) instead of sequential
+    `IndexHNSWFlat.add`; the result plays the role of the compact CSR graph
+    produced by convert_to_csr.py (fixed-degree rows == regular gathers).
+  * compact (`is_compact=True`): the embedding matrix is NOT stored — exactly
+    the reference's NULL-storage pruning (convert_to_csr.py:236-237). Query
+    distances come from on-chip recompute over stored token rows.
+  * search: one jitted `beam_search_batch` program (ops/beam_search.py); the
+    reference's SearchParametersHNSW knobs map as
+       efSearch/complexity -> pool size L
+       beam_size/beam_width -> nodes expanded per hop
+       pq_pruning_ratio     -> PQ-screen keep fraction (global strategy)
+       batch_size           -> static recompute batch (prune_keep)
+  * `is_recompute=False` on a compact index is an error, matching
+    hnsw_backend.py:189-193.
+
+On-disk payload: ``<prefix>.hnsw.npz`` (neighbors, entries, medoid, metric,
+flags, optional embeddings, optional PQ codes/codebooks).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...interface import (
+    LeannBackendBuilderInterface,
+    LeannBackendFactoryInterface,
+    LeannBackendSearcherInterface,
+)
+from ...ops.beam_search import BeamConfig, GraphData, beam_search_batch
+from ...ops.graph import build_graph
+from ...ops.pq import choose_m, encode_pq_blocked, train_pq
+from ...registry import register_backend
+from ..common import BaseSearcher, save_ids
+
+logger = logging.getLogger(__name__)
+
+N_ENTRY_POINTS = 16
+
+
+def _entry_points(medoid: int, n: int, count: int = N_ENTRY_POINTS) -> np.ndarray:
+    """Medoid + strided sample — the TPU-static replacement for HNSW's upper
+    hierarchy layers: a fixed, diverse set of starting points."""
+    pts = [medoid] + [int(i * n / count) for i in range(count)]
+    uniq = list(dict.fromkeys(p for p in pts if 0 <= p < n))
+    return np.asarray(uniq[:count], np.int32)
+
+
+class HnswBuilder(LeannBackendBuilderInterface):
+    def __init__(
+        self,
+        distance_metric: str = "mips",
+        is_compact: bool = True,
+        is_recompute: bool = True,
+        M: int = 32,  # graph degree (reference M, hnsw_backend.py:83)
+        efConstruction: int = 128,  # build candidate budget
+        alpha: float = 1.2,
+        pq_subspaces: int = 0,  # 0 = auto (~D/8)
+        **kwargs,
+    ):
+        self.distance_metric = distance_metric
+        self.is_compact = is_compact
+        self.is_recompute = is_recompute
+        self.m = M
+        self.ef_construction = efConstruction
+        self.alpha = alpha
+        self.pq_subspaces = pq_subspaces
+
+    def build(self, data: np.ndarray, ids: list, index_path: str, **kwargs) -> None:
+        data = np.ascontiguousarray(data, dtype=np.float32)
+        n, d = data.shape
+        cand_factor = max(2, min(8, self.ef_construction // max(self.m, 1)))
+        neighbors, medoid = build_graph(data, r=self.m, candidate_factor=cand_factor, alpha=self.alpha)
+        payload: Dict[str, Any] = {
+            "neighbors": neighbors,
+            "medoid": np.int32(medoid),
+            "entries": _entry_points(medoid, n),
+            "metric": self.distance_metric,
+            "is_compact": self.is_compact,
+            "is_recompute": self.is_recompute,
+            "dim": np.int32(d),
+        }
+        # PQ codes steer pruned expansion whenever recompute is on
+        if self.is_recompute and n >= 4:
+            m = choose_m(d, self.pq_subspaces)
+            codebooks = train_pq(data, m=m)
+            payload["codebooks"] = codebooks
+            payload["codes"] = encode_pq_blocked(data, codebooks)
+        if not self.is_compact:
+            payload["embeddings"] = data  # non-compact keeps the matrix
+        np.savez(f"{index_path}.hnsw.npz", **payload)
+        save_ids(index_path, ids)
+        logger.info("hnsw build: N=%d D=%d R=%d compact=%s", n, d, self.m, self.is_compact)
+
+
+class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
+    def __init__(self, index_path: str, **kwargs):
+        super().__init__(index_path, **kwargs)
+        z = np.load(f"{index_path}.hnsw.npz", allow_pickle=False)
+        self.neighbors = jnp.asarray(z["neighbors"])
+        self.entries = np.asarray(z["entries"])
+        self.metric = str(z["metric"])
+        self.is_compact = bool(z["is_compact"])
+        self.n = int(self.neighbors.shape[0])
+        dummy = jnp.zeros((1, 1), jnp.float32)
+        self.emb = jnp.asarray(z["embeddings"]) if "embeddings" in z else dummy
+        self.codes = jnp.asarray(z["codes"]) if "codes" in z else jnp.zeros((1, 1), jnp.uint8)
+        self.codebooks = jnp.asarray(z["codebooks"]) if "codebooks" in z else dummy
+        self.has_pq = "codes" in z
+        tok = self.load_tokens()
+        if tok is not None:
+            self.tokens = jnp.asarray(tok[0])
+            self.lengths = jnp.asarray(tok[1])
+            self.has_tokens = True
+        else:
+            self.tokens = jnp.zeros((1, 1), jnp.int32)
+            self.lengths = jnp.zeros((1,), jnp.int32)
+            self.has_tokens = False
+        self._enc = None
+
+    # -- encoder state for on-chip recompute --------------------------------
+
+    def _encoder(self):
+        if self._enc is None:
+            from ...embeddings.encoder import get_encoder
+
+            self._enc = get_encoder(self.embedding_model, max_length=self.max_length)
+        return self._enc
+
+    def _graph_data(self) -> GraphData:
+        return GraphData(
+            neighbors=self.neighbors,
+            entry_ids=jnp.asarray(self.entries),
+            emb=self.emb,
+            tokens=self.tokens,
+            lengths=self.lengths,
+            codes=self.codes,
+            codebooks=self.codebooks,
+        )
+
+    def search(
+        self,
+        query: np.ndarray,
+        top_k: int,
+        *,
+        complexity: int = 64,
+        beam_width: int = 4,
+        prune_ratio: float = 0.0,
+        recompute_embeddings: bool = True,
+        pruning_strategy: str = "global",
+        batch_size: int = 0,
+        zmq_port: Optional[int] = None,
+        **kwargs,
+    ) -> Dict[str, np.ndarray]:
+        q = jnp.asarray(np.ascontiguousarray(query, dtype=np.float32))
+        l = max(complexity, top_k, beam_width)
+        beam = max(1, min(beam_width, l))
+        f = beam * int(self.neighbors.shape[1])
+        enc_params = None
+        enc_cfg = None
+        if recompute_embeddings:
+            if not self.has_tokens:
+                if self.is_compact:
+                    raise RuntimeError(
+                        "compact index has no embeddings and no token store; cannot search"
+                    )
+                recompute_embeddings = False
+            else:
+                enc = self._encoder()
+                enc_params, enc_cfg = enc.params, enc.cfg
+        if not recompute_embeddings and self.emb.shape == (1, 1):
+            # parity: recompute=False on a pruned/compact index is an error
+            # (reference hnsw_backend.py:189-193)
+            raise RuntimeError("recompute_embeddings=False requires a non-compact index")
+
+        traversal = "recompute" if recompute_embeddings else "stored"
+        prune_keep = 0
+        if recompute_embeddings and prune_ratio > 0 and self.has_pq:
+            if pruning_strategy not in ("global", "local", "proportional"):
+                raise ValueError(f"unknown pruning_strategy {pruning_strategy!r}")
+            if pruning_strategy != "global":
+                logger.info("pruning_strategy %r approximated by 'global' on TPU", pruning_strategy)
+            prune_keep = max(1, min(f, math.ceil(f * (1.0 - prune_ratio))))
+            # batch_size caps the static recompute batch per hop (parity
+            # hnsw_backend.py:233-234)
+            if batch_size:
+                prune_keep = min(prune_keep, batch_size)
+        cfg = BeamConfig(
+            metric=self.metric,
+            k=top_k,
+            complexity=l,
+            beam=beam,
+            max_steps=max(8, l),
+            traversal=traversal,
+            prune_keep=prune_keep,
+            rerank=0,
+            normalize=(self.metric == "cosine"),
+            enc_cfg=enc_cfg,
+        )
+        labels, dists, steps = beam_search_batch(q, self._graph_data(), cfg, enc_params)
+        return {"labels": np.asarray(labels), "distances": np.asarray(dists)}
+
+
+@register_backend("hnsw")
+class HnswBackendFactory(LeannBackendFactoryInterface):
+    @staticmethod
+    def builder(**kwargs) -> HnswBuilder:
+        return HnswBuilder(**kwargs)
+
+    @staticmethod
+    def searcher(index_path: str, **kwargs) -> HnswSearcher:
+        return HnswSearcher(index_path, **kwargs)

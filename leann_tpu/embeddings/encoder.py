@@ -1,0 +1,330 @@
+"""Pure-JAX transformer text encoder (the recompute engine).
+
+Replaces the reference's sentence-transformers/torch path
+(embedding_compute.py:122-344) with an in-process, jittable encoder whose
+forward can be *fused into the search loop* on TPU — the core LEANN operation
+(recompute embeddings for visited graph nodes) becomes one jitted call instead
+of a ZMQ round-trip to an embedding-server subprocess
+(hnsw_embedding_server.py:147-211).
+
+Design notes (TPU-first):
+  * bf16 compute, f32 softmax/pooling; static shapes with length bucketing so
+    XLA compiles a handful of programs and the MXU sees large batched matmuls.
+  * weights are deterministic given the model name (seeded init) so separate
+    build/search processes agree bit-for-bit without shipping a checkpoint;
+    real HuggingFace BERT-family weights load from a *local* directory when
+    available (zero-egress environments never fetch).
+  * ``encode_tokens`` is a pure function of (params, ids, mask) — this is what
+    the fused beam search calls per hop.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import math
+from dataclasses import dataclass, replace
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .tokenizer import get_tokenizer, stable_hash
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    name: str = "hash-minilm"
+    vocab_size: int = 32768
+    dim: int = 384
+    n_layers: int = 6
+    n_heads: int = 6
+    mlp_dim: int = 1536
+    max_len: int = 256
+    arch: str = "prenorm"  # "prenorm" (seeded) | "bert" (HF post-LN weights)
+    normalize: bool = True  # L2-normalize pooled output (cosine-ready)
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.n_heads
+
+
+# Architecture registry. Reference model names map onto equivalent-capacity
+# hash-tokenizer architectures when no local weights exist (api.py:301-368
+# auto-detects normalized models; we mirror: MiniLM-class normalizes,
+# contriever-class does not).
+MODEL_REGISTRY: Dict[str, EncoderConfig] = {
+    "hash-tiny": EncoderConfig("hash-tiny", vocab_size=2048, dim=64, n_layers=2, n_heads=2, mlp_dim=128, max_len=128),
+    "hash-minilm": EncoderConfig("hash-minilm"),
+    "hash-contriever": EncoderConfig(
+        "hash-contriever", dim=768, n_layers=12, n_heads=12, mlp_dim=3072, normalize=False
+    ),
+}
+_ALIASES = {
+    "sentence-transformers/all-MiniLM-L6-v2": "hash-minilm",
+    "all-MiniLM-L6-v2": "hash-minilm",
+    "facebook/contriever-msmarco": "hash-contriever",
+    "facebook/contriever": "hash-contriever",
+}
+
+
+def resolve_config(model_name: str) -> EncoderConfig:
+    name = _ALIASES.get(model_name, model_name)
+    if name in MODEL_REGISTRY:
+        return MODEL_REGISTRY[name]
+    logger.warning("unknown embedding model %r; using hash-minilm architecture", model_name)
+    return replace(MODEL_REGISTRY["hash-minilm"], name=model_name)
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+
+def _dense_init(key, d_in, d_out, std=0.02):
+    kw, _ = jax.random.split(key)
+    return {
+        "w": (jax.random.normal(kw, (d_in, d_out), jnp.float32) * std),
+        "b": jnp.zeros((d_out,), jnp.float32),
+    }
+
+
+def _ln_init(dim):
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def init_params(cfg: EncoderConfig) -> Dict:
+    """Deterministic params from the model name (threefry is platform-stable)."""
+    key = jax.random.PRNGKey(stable_hash(cfg.name) % (2**31))
+    keys = jax.random.split(key, 2 + cfg.n_layers)
+    d, f = cfg.dim, cfg.mlp_dim
+    params = {
+        "tok_emb": jax.random.normal(keys[0], (cfg.vocab_size, d), jnp.float32) * 0.02,
+        "pos_emb": jax.random.normal(keys[1], (cfg.max_len, d), jnp.float32) * 0.02,
+        "emb_ln": _ln_init(d),
+        "final_ln": _ln_init(d),
+        "layers": [],
+    }
+    # residual-branch output projections scaled down for stable depth
+    out_std = 0.02 / math.sqrt(2 * cfg.n_layers)
+    for i in range(cfg.n_layers):
+        k = jax.random.split(keys[2 + i], 6)
+        params["layers"].append(
+            {
+                "ln1": _ln_init(d),
+                "ln2": _ln_init(d),
+                "q": _dense_init(k[0], d, d),
+                "k": _dense_init(k[1], d, d),
+                "v": _dense_init(k[2], d, d),
+                "o": _dense_init(k[3], d, d, std=out_std),
+                "fc1": _dense_init(k[4], d, f),
+                "fc2": _dense_init(k[5], f, d, std=out_std),
+            }
+        )
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _layer_norm(x, p, eps=1e-6):
+    x = x.astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _dense(x, p, dtype):
+    return jnp.dot(x.astype(dtype), p["w"].astype(dtype), preferred_element_type=jnp.float32) + p["b"]
+
+
+def _attention(x, mask, layer, cfg: EncoderConfig, dtype):
+    B, T, D = x.shape
+    H, hd = cfg.n_heads, cfg.head_dim
+    q = _dense(x, layer["q"], dtype).reshape(B, T, H, hd)
+    k = _dense(x, layer["k"], dtype).reshape(B, T, H, hd)
+    v = _dense(x, layer["v"], dtype).reshape(B, T, H, hd)
+    scores = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32)
+    scores = scores / math.sqrt(hd)
+    neg = jnp.finfo(jnp.float32).min
+    scores = jnp.where(mask[:, None, None, :] > 0, scores, neg)
+    probs = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum("bhts,bshd->bthd", probs.astype(dtype), v.astype(dtype), preferred_element_type=jnp.float32)
+    return _dense(ctx.reshape(B, T, D), layer["o"], dtype)
+
+
+def encode_tokens(params: Dict, ids: jnp.ndarray, mask: jnp.ndarray, cfg: EncoderConfig) -> jnp.ndarray:
+    """(params, ids[B,T] i32, mask[B,T] i32) -> pooled embeddings [B, D] f32.
+
+    Pure and jittable: safe to call inside the fused search while-loop.
+    """
+    dtype = jnp.dtype(cfg.compute_dtype)
+    B, T = ids.shape
+    x = params["tok_emb"][ids] + params["pos_emb"][:T][None, :, :]
+    if cfg.arch == "bert":
+        x = _layer_norm(x, params["emb_ln"])
+    for layer in params["layers"]:
+        if cfg.arch == "prenorm":
+            x = x + _attention(_layer_norm(x, layer["ln1"]), mask, layer, cfg, dtype)
+            h = _dense(_layer_norm(x, layer["ln2"]), layer["fc1"], dtype)
+            x = x + _dense(jax.nn.gelu(h).astype(dtype), layer["fc2"], dtype)
+        else:  # bert post-LN
+            x = _layer_norm(x + _attention(x, mask, layer, cfg, dtype), layer["ln1"])
+            h = _dense(x, layer["fc1"], dtype)
+            x = _layer_norm(x + _dense(jax.nn.gelu(h).astype(dtype), layer["fc2"], dtype), layer["ln2"])
+    if cfg.arch == "prenorm":
+        x = _layer_norm(x, params["final_ln"])
+    # masked mean pooling in f32 (sentence-transformers-style)
+    m = mask.astype(jnp.float32)[:, :, None]
+    pooled = jnp.sum(x.astype(jnp.float32) * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
+    if cfg.normalize:
+        pooled = pooled / jnp.maximum(jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12)
+    return pooled
+
+
+# ---------------------------------------------------------------------------
+# High-level encoder object
+# ---------------------------------------------------------------------------
+
+
+def _round_up_pow2(n: int, lo: int, hi: int) -> int:
+    v = lo
+    while v < n and v < hi:
+        v *= 2
+    return min(v, hi)
+
+
+class JaxEncoder:
+    """Batched text encoder with length bucketing and a jit cache."""
+
+    def __init__(self, model_name: str, max_length: Optional[int] = None, params: Optional[Dict] = None):
+        self.cfg = resolve_config(model_name)
+        if max_length is not None and max_length != self.cfg.max_len:
+            self.cfg = replace(self.cfg, max_len=max_length)
+        self.model_name = model_name
+        self.tokenizer = get_tokenizer(model_name, vocab_size=self.cfg.vocab_size, max_length=self.cfg.max_len)
+        self.params = params if params is not None else self._load_or_init(model_name)
+        self._jit = functools.partial(jax.jit, static_argnames=("cfg",))(encode_tokens)
+
+    def _load_or_init(self, model_name: str) -> Dict:
+        import os
+
+        if os.path.isdir(model_name):
+            try:
+                params, cfg = load_hf_weights(model_name)
+                self.cfg = replace(cfg, max_len=self.cfg.max_len)
+                logger.info("loaded local HF weights from %s", model_name)
+                return params
+            except Exception as e:
+                logger.warning("could not load HF weights from %s (%s); seeded init", model_name, e)
+        return init_params(self.cfg)
+
+    @property
+    def dim(self) -> int:
+        return self.cfg.dim
+
+    def tokenize(self, texts: Sequence[str], max_length: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+        return self.tokenizer.encode_batch(texts, max_length or self.cfg.max_len)
+
+    def encode_token_batch(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        return np.asarray(self._jit(self.params, jnp.asarray(ids), jnp.asarray(mask), cfg=self.cfg))
+
+    def encode(self, texts: Sequence[str], batch_size: int = 128) -> np.ndarray:
+        """Encode texts -> [N, D] float32, with shape bucketing to bound the
+        number of distinct compiled programs."""
+        out = np.empty((len(texts), self.cfg.dim), dtype=np.float32)
+        for start in range(0, len(texts), batch_size):
+            chunk = texts[start : start + batch_size]
+            ids, mask = self.tokenize(chunk)
+            # bucket seq len: longest real length -> next pow2 (min 16)
+            real = int(mask.sum(axis=1).max()) if len(chunk) else 0
+            T = _round_up_pow2(max(real, 1), 16, self.cfg.max_len)
+            ids, mask = ids[:, :T], mask[:, :T]
+            # bucket batch to pow2 to cap recompiles
+            B = _round_up_pow2(len(chunk), 8, batch_size)
+            if B > len(chunk):
+                pad = B - len(chunk)
+                ids = np.concatenate([ids, np.zeros((pad, T), np.int32)])
+                mask = np.concatenate([mask, np.zeros((pad, T), np.int32)])
+                mask[len(chunk):, 0] = 1  # avoid 0/0 in pooling
+            emb = self.encode_token_batch(ids, mask)
+            out[start : start + len(chunk)] = emb[: len(chunk)]
+        return out
+
+
+def load_hf_weights(path: str) -> Tuple[Dict, EncoderConfig]:
+    """Convert a local HuggingFace BERT-family checkpoint into our param tree.
+
+    Covers BERT/MiniLM/contriever layouts (torch weights loaded on CPU). Never
+    touches the network.
+    """
+    import json
+    import os
+
+    import torch  # cpu-only in this image
+    from transformers import AutoModel
+
+    with open(os.path.join(path, "config.json")) as f:
+        hf = json.load(f)
+    cfg = EncoderConfig(
+        name=path,
+        vocab_size=hf["vocab_size"],
+        dim=hf["hidden_size"],
+        n_layers=hf["num_hidden_layers"],
+        n_heads=hf["num_attention_heads"],
+        mlp_dim=hf["intermediate_size"],
+        max_len=min(hf.get("max_position_embeddings", 512), 512),
+        arch="bert",
+        normalize=True,
+    )
+    model = AutoModel.from_pretrained(path, local_files_only=True)
+    sd = {k: np.asarray(v.detach().cpu().to(torch.float32)) for k, v in model.state_dict().items()}
+
+    def dense(prefix, transpose=True):
+        w = sd[prefix + ".weight"]
+        return {"w": jnp.asarray(w.T if transpose else w), "b": jnp.asarray(sd[prefix + ".bias"])}
+
+    def ln(prefix):
+        return {"scale": jnp.asarray(sd[prefix + ".weight"]), "bias": jnp.asarray(sd[prefix + ".bias"])}
+
+    params = {
+        "tok_emb": jnp.asarray(sd["embeddings.word_embeddings.weight"]),
+        "pos_emb": jnp.asarray(sd["embeddings.position_embeddings.weight"][: cfg.max_len]),
+        "emb_ln": ln("embeddings.LayerNorm"),
+        "final_ln": _ln_init(cfg.dim),
+        "layers": [],
+    }
+    # BERT adds token_type embeddings; fold type-0 row into tok_emb bias-free
+    if "embeddings.token_type_embeddings.weight" in sd:
+        params["tok_emb"] = params["tok_emb"] + jnp.asarray(sd["embeddings.token_type_embeddings.weight"][0])[None, :]
+    for i in range(cfg.n_layers):
+        p = f"encoder.layer.{i}"
+        params["layers"].append(
+            {
+                "q": dense(f"{p}.attention.self.query"),
+                "k": dense(f"{p}.attention.self.key"),
+                "v": dense(f"{p}.attention.self.value"),
+                "o": dense(f"{p}.attention.output.dense"),
+                "ln1": ln(f"{p}.attention.output.LayerNorm"),
+                "fc1": dense(f"{p}.intermediate.dense"),
+                "fc2": dense(f"{p}.output.dense"),
+                "ln2": ln(f"{p}.output.LayerNorm"),
+            }
+        )
+    return params, cfg
+
+
+_ENCODER_CACHE: Dict[Tuple[str, Optional[int]], JaxEncoder] = {}
+
+
+def get_encoder(model_name: str, max_length: Optional[int] = None) -> JaxEncoder:
+    key = (model_name, max_length)
+    if key not in _ENCODER_CACHE:
+        _ENCODER_CACHE[key] = JaxEncoder(model_name, max_length=max_length)
+    return _ENCODER_CACHE[key]

@@ -1,0 +1,222 @@
+"""Fused graph beam search — the signature query path, as one jitted program.
+
+This replaces the reference's entire query-time stack: the forked-faiss C++
+beam search (hnsw_backend.py:241-248), the per-hop ZMQ "distance request" to a
+Python embedding server (hnsw_embedding_server.py:147-211, call stack
+SURVEY.md §3.2 "PROCESS BOUNDARY #3 — THE latency bottleneck"), and DiskANN's
+PQ traversal + deferred exact rerank (diskann_backend.py:452-467). Here the
+whole thing — frontier selection, fixed-degree neighbor gather, visited-bitmap
+dedup, PQ-ADC screening, batched encoder recompute of survivors, candidate
+pool merge — is a single `lax.while_loop` vmapped over the query batch, so the
+hot loop never leaves the chip.
+
+TPU shape discipline (SURVEY.md §7 "hard parts"):
+  * data-dependent termination -> `lax.while_loop` + convergence flag
+    (the reference's `check_relative_distance` early-exit, hnsw_backend.py:209)
+  * ragged neighbor sets -> fixed-degree graph rows padded with -1 + masking
+  * dynamic recompute batches -> static `prune_keep` survivors per hop
+    (the reference's `pq_pruning_ratio` / global pruning strategy,
+    hnsw_backend.py:220-231)
+  * visited set -> per-query bitmap of u32 words in HBM, updated with
+    scatter-add of fresh bits (add == bitwise-or because each added bit is
+    provably unset)
+
+Traversal distance modes:
+  * ``stored``     exact distances from an HBM-resident embedding matrix
+                   (non-compact indexes, is_recompute=False parity)
+  * ``recompute``  exact distances by *re-encoding passages on-chip*: gather
+                   token rows -> jitted encoder forward -> distance. With
+                   ``prune_keep`` set, PQ-ADC screens all candidates and only
+                   the best ``prune_keep`` are re-encoded (two-tier scheme).
+  * ``pq``         PQ-ADC approximate distances only (DiskANN-style); combine
+                   with ``rerank`` for the final exact recompute pass.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..embeddings.encoder import EncoderConfig, encode_tokens
+from .pq import adc_distances, adc_lut
+
+INF = jnp.float32(3.4e38)
+BIG = jnp.float32(1e37)
+
+
+class GraphData(NamedTuple):
+    """Device-resident index state. Unused fields hold (1,1)-shaped dummies."""
+
+    neighbors: jnp.ndarray  # i32[N, R], -1 padded
+    entry_ids: jnp.ndarray  # i32[E]
+    emb: jnp.ndarray  # f32[N, D] | dummy
+    tokens: jnp.ndarray  # i32[N, T] | dummy
+    lengths: jnp.ndarray  # i32[N]   | dummy
+    codes: jnp.ndarray  # u8[N, M]  | dummy
+    codebooks: jnp.ndarray  # f32[M, K, ds] | dummy
+
+
+@dataclass(frozen=True)
+class BeamConfig:
+    metric: str = "l2"
+    k: int = 10
+    complexity: int = 64  # candidate pool size L (efSearch parity)
+    beam: int = 4  # nodes expanded per hop (beam_width parity)
+    max_steps: int = 64
+    traversal: str = "stored"  # stored | recompute | pq
+    prune_keep: int = 0  # >0: PQ-screen, re-encode only top-K per hop
+    rerank: int = 0  # >0: final exact recompute of top-K pool entries
+    rerank_source: str = "recompute"  # recompute | stored
+    normalize: bool = False  # L2-normalize recomputed embeddings (cosine)
+    enc_cfg: Optional[EncoderConfig] = None
+
+
+def _metric_dists(q: jnp.ndarray, e: jnp.ndarray, metric: str) -> jnp.ndarray:
+    """q [D], e [C, D] -> dists [C] (lower = closer)."""
+    dots = jnp.dot(e.astype(jnp.bfloat16), q.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+    if metric in ("mips", "cosine"):
+        return -dots
+    return jnp.sum(jnp.square(q)) + jnp.sum(jnp.square(e.astype(jnp.float32)), axis=1) - 2.0 * dots
+
+
+def _recompute_embeddings(g: GraphData, ids: jnp.ndarray, cfg: BeamConfig, enc_params) -> jnp.ndarray:
+    """Re-encode passages for node ``ids`` [C] on-chip -> [C, D] f32."""
+    safe = jnp.clip(ids, 0, g.tokens.shape[0] - 1)
+    toks = g.tokens[safe]  # [C, T]
+    t = toks.shape[1]
+    mask = (jax.lax.broadcasted_iota(jnp.int32, (ids.shape[0], t), 1) < g.lengths[safe][:, None]).astype(jnp.int32)
+    e = encode_tokens(enc_params, toks, mask, cfg.enc_cfg)
+    if cfg.normalize and not cfg.enc_cfg.normalize:
+        e = e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-12)
+    return e
+
+
+def _exact_dists(q, g: GraphData, ids, valid, cfg: BeamConfig, enc_params, source: str):
+    if source == "stored":
+        e = g.emb[jnp.clip(ids, 0, g.emb.shape[0] - 1)]
+    else:
+        e = _recompute_embeddings(g, ids, cfg, enc_params)
+    return jnp.where(valid, _metric_dists(q, e, cfg.metric), INF)
+
+
+def _traversal_dists(q, g: GraphData, ids, valid, lut, cfg: BeamConfig, enc_params):
+    if cfg.traversal == "stored":
+        return _exact_dists(q, g, ids, valid, cfg, enc_params, "stored")
+    if cfg.traversal == "pq":
+        ad = adc_distances(g.codes[jnp.clip(ids, 0, g.codes.shape[0] - 1)], lut)
+        return jnp.where(valid, ad, INF)
+    # recompute, optionally PQ-screened
+    f = ids.shape[0]
+    if cfg.prune_keep and cfg.prune_keep < f:
+        ad = adc_distances(g.codes[jnp.clip(ids, 0, g.codes.shape[0] - 1)], lut)
+        ad = jnp.where(valid, ad, INF)
+        _, keep_pos = jax.lax.top_k(-ad, cfg.prune_keep)
+        keep_ids = ids[keep_pos]
+        keep_valid = valid[keep_pos]
+        ed = _exact_dists(q, g, keep_ids, keep_valid, cfg, enc_params, "recompute")
+        return ad.at[keep_pos].set(ed)
+    return _exact_dists(q, g, ids, valid, cfg, enc_params, "recompute")
+
+
+def _merge_pool(ids_a, dist_a, flag_a, ids_b, dist_b, flag_b, l: int):
+    ids = jnp.concatenate([ids_a, ids_b])
+    dist = jnp.concatenate([dist_a, dist_b])
+    flag = jnp.concatenate([flag_a, flag_b]).astype(jnp.int32)
+    dist, ids, flag = jax.lax.sort((dist, ids, flag), num_keys=1)
+    return ids[:l], dist[:l], flag[:l].astype(bool)
+
+
+def _search_one(q: jnp.ndarray, g: GraphData, cfg: BeamConfig, enc_params):
+    n, r = g.neighbors.shape
+    l = cfg.complexity
+    f = cfg.beam * r
+    nw = (n + 31) // 32
+
+    lut = None
+    if cfg.traversal == "pq" or (cfg.traversal == "recompute" and cfg.prune_keep):
+        lut = adc_lut(q, g.codebooks, cfg.metric)
+
+    # ---- init: entry points into the pool, marked visited -----------------
+    e_ids = g.entry_ids[: min(g.entry_ids.shape[0], l)]
+    ne = e_ids.shape[0]
+    visited = jnp.zeros((nw,), jnp.uint32)
+    bit = jnp.uint32(1) << (e_ids & 31).astype(jnp.uint32)
+    visited = visited.at[e_ids >> 5].add(bit)  # entry ids are unique by construction
+    e_valid = jnp.ones((ne,), bool)
+    e_dist = _traversal_dists(q, g, e_ids, e_valid, lut, cfg, enc_params)
+    pad = l - ne
+    cand_ids = jnp.concatenate([e_ids, jnp.full((pad,), -1, jnp.int32)])
+    cand_dist = jnp.concatenate([e_dist, jnp.full((pad,), INF)])
+    cand_flag = jnp.concatenate([jnp.zeros((ne,), bool), jnp.ones((pad,), bool)])
+    cand_dist, cand_ids, flag_i = jax.lax.sort((cand_dist, cand_ids, cand_flag.astype(jnp.int32)), num_keys=1)
+    cand_flag = flag_i.astype(bool)
+
+    def cond(state):
+        _, _, _, _, step, done = state
+        return (step < cfg.max_steps) & ~done
+
+    def body(state):
+        cand_ids, cand_dist, cand_flag, visited, step, done = state
+        # 1. select the `beam` closest unexpanded candidates
+        sel_score = jnp.where(cand_flag, INF, cand_dist)
+        neg, pos = jax.lax.top_k(-sel_score, cfg.beam)
+        sel_valid = -neg < BIG
+        sel_ids = jnp.where(sel_valid, cand_ids[pos], 0)
+        cand_flag = cand_flag.at[pos].set(True)
+        # 2. expand: gather fixed-degree neighbor rows
+        nbrs = g.neighbors[sel_ids].reshape(f)  # [beam*R]
+        valid = (nbrs >= 0) & jnp.repeat(sel_valid, r, total_repeat_length=f)
+        # 3. dedup within the batch (upper-triangular equality test)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (f, f), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (f, f), 1)
+        dup = jnp.any((nbrs[:, None] == nbrs[None, :]) & (ii > jj) & valid[None, :], axis=1)
+        valid &= ~dup
+        # 4. visited-bitmap test + mark (scatter-add of provably-unset bits)
+        safe = jnp.clip(nbrs, 0, n - 1)
+        wi = safe >> 5
+        bit = jnp.uint32(1) << (safe & 31).astype(jnp.uint32)
+        is_new = ((visited[wi] & bit) == 0) & valid
+        visited = visited.at[wi].add(jnp.where(is_new, bit, jnp.uint32(0)))
+        # 5. distances for fresh candidates
+        new_dist = _traversal_dists(q, g, safe, is_new, lut, cfg, enc_params)
+        new_ids = jnp.where(is_new, nbrs, -1)
+        # 6. merge into the sorted pool
+        cand_ids, cand_dist, cand_flag = _merge_pool(
+            cand_ids, cand_dist, cand_flag, new_ids, new_dist, ~is_new, l
+        )
+        # 7. convergence: closest unexpanded is farther than the kth result
+        best_unexp = jnp.min(jnp.where(cand_flag, INF, cand_dist))
+        kth = cand_dist[cfg.k - 1]
+        done = (best_unexp > kth) | (best_unexp >= BIG)
+        return cand_ids, cand_dist, cand_flag, visited, step + 1, done
+
+    state = (cand_ids, cand_dist, cand_flag, visited, jnp.int32(0), jnp.bool_(False))
+    cand_ids, cand_dist, cand_flag, visited, steps, _ = jax.lax.while_loop(cond, body, state)
+
+    # ---- optional exact rerank (DiskANN deferred-fetch parity) ------------
+    if cfg.rerank:
+        rr = min(cfg.rerank, l)
+        top_ids = cand_ids[:rr]
+        top_valid = top_ids >= 0
+        exact = _exact_dists(
+            q, g, jnp.clip(top_ids, 0, n - 1), top_valid, cfg, enc_params, cfg.rerank_source
+        )
+        exact, top_ids = jax.lax.sort((exact, top_ids), num_keys=1)
+        return top_ids[: cfg.k], exact[: cfg.k], steps
+    return cand_ids[: cfg.k], cand_dist[: cfg.k], steps
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def beam_search_batch(q: jnp.ndarray, g: GraphData, cfg: BeamConfig, enc_params=None):
+    """q [B, D] -> (labels i32[B, k], dists f32[B, k], steps i32[B])."""
+    if enc_params is None:
+        enc_params = {"_": jnp.zeros((1,), jnp.float32)}
+    return jax.vmap(lambda qi: _search_one(qi, g, cfg, enc_params))(q)
+
+
+def make_dummy(shape=(1, 1), dtype=jnp.float32):
+    return jnp.zeros(shape, dtype)
