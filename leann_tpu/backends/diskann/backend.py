@@ -38,7 +38,7 @@ from ...ops.graph import build_graph
 from ...ops.pq import choose_m, encode_pq_blocked, train_pq
 from ...registry import register_backend
 from ..common import BaseSearcher, save_ids
-from ..hnsw.backend import _entry_points
+from ..hnsw.backend import _entry_pool
 from .partition import edge_locality, ldg_partition
 
 logger = logging.getLogger(__name__)
@@ -79,7 +79,7 @@ class DiskannBuilder(LeannBackendBuilderInterface):
         payload = {
             "neighbors": neighbors,
             "medoid": np.int32(medoid),
-            "entries": _entry_points(medoid, n),
+            "entries": _entry_pool(medoid, n, has_screen=True),  # codes always exist
             "metric": self.distance_metric,
             "dim": np.int32(d),
             "codebooks": codebooks,

@@ -45,14 +45,23 @@ from ..common import BaseSearcher, save_ids
 logger = logging.getLogger(__name__)
 
 N_ENTRY_POINTS = 16
+ENTRY_POOL_SIZE = 4096
 
 
 def _entry_points(medoid: int, n: int, count: int = N_ENTRY_POINTS) -> np.ndarray:
-    """Medoid + strided sample — the TPU-static replacement for HNSW's upper
-    hierarchy layers: a fixed, diverse set of starting points."""
+    """Medoid + strided sample of starting points."""
     pts = [medoid] + [int(i * n / count) for i in range(count)]
     uniq = list(dict.fromkeys(p for p in pts if 0 <= p < n))
     return np.asarray(uniq[:count], np.int32)
+
+
+def _entry_pool(medoid: int, n: int, has_screen: bool) -> np.ndarray:
+    """Entry pool — the TPU-static replacement for HNSW's upper hierarchy
+    layers. When the searcher can cheaply screen candidates per query (stored
+    embeddings or PQ codes), store a large strided pool and let the query pick
+    its n_entries best seeds; otherwise fall back to a small fixed set."""
+    count = min(n, ENTRY_POOL_SIZE) if has_screen else N_ENTRY_POINTS
+    return _entry_points(medoid, n, count)
 
 
 class HnswBuilder(LeannBackendBuilderInterface):
@@ -83,7 +92,6 @@ class HnswBuilder(LeannBackendBuilderInterface):
         payload: Dict[str, Any] = {
             "neighbors": neighbors,
             "medoid": np.int32(medoid),
-            "entries": _entry_points(medoid, n),
             "metric": self.distance_metric,
             "is_compact": self.is_compact,
             "is_recompute": self.is_recompute,
@@ -97,6 +105,8 @@ class HnswBuilder(LeannBackendBuilderInterface):
             payload["codes"] = encode_pq_blocked(data, codebooks)
         if not self.is_compact:
             payload["embeddings"] = data  # non-compact keeps the matrix
+        has_screen = (not self.is_compact) or ("codes" in payload)
+        payload["entries"] = _entry_pool(medoid, n, has_screen)
         np.savez(f"{index_path}.hnsw.npz", **payload)
         save_ids(index_path, ids)
         logger.info("hnsw build: N=%d D=%d R=%d compact=%s", n, d, self.m, self.is_compact)

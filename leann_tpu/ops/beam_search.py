@@ -71,6 +71,7 @@ class BeamConfig:
     prune_keep: int = 0  # >0: PQ-screen, re-encode only top-K per hop
     rerank: int = 0  # >0: final exact recompute of top-K pool entries
     rerank_source: str = "recompute"  # recompute | stored
+    n_entries: int = 16  # starting points taken from the entry pool
     normalize: bool = False  # L2-normalize recomputed embeddings (cosine)
     enc_cfg: Optional[EncoderConfig] = None
 
@@ -140,9 +141,25 @@ def _search_one(q: jnp.ndarray, g: GraphData, cfg: BeamConfig, enc_params):
     if cfg.traversal == "pq" or (cfg.traversal == "recompute" and cfg.prune_keep):
         lut = adc_lut(q, g.codebooks, cfg.metric)
 
-    # ---- init: entry points into the pool, marked visited -----------------
-    e_ids = g.entry_ids[: min(g.entry_ids.shape[0], l)]
-    ne = e_ids.shape[0]
+    # ---- init: query-aware entry seeding ----------------------------------
+    # Replaces HNSW's upper hierarchy layers: the build stores a large strided
+    # entry pool; per query, a cheap screen (exact for stored mode, PQ-ADC
+    # otherwise) picks the n_entries best starting points. Removes the
+    # fixed-entry sensitivity a static entry set has.
+    ne = min(cfg.n_entries, g.entry_ids.shape[0], l)
+    if g.entry_ids.shape[0] > ne:
+        pool = g.entry_ids
+        if cfg.traversal == "stored":
+            pd = _metric_dists(q, g.emb[pool], cfg.metric)
+        elif g.codes.shape[0] > 1:
+            plut = lut if lut is not None else adc_lut(q, g.codebooks, cfg.metric)
+            pd = adc_distances(g.codes[pool], plut)
+        else:  # no screen available: fall back to the pool head
+            pd = jax.lax.broadcasted_iota(jnp.float32, (pool.shape[0], 1), 0)[:, 0]
+        _, pidx = jax.lax.top_k(-pd, ne)
+        e_ids = pool[pidx]
+    else:
+        e_ids = g.entry_ids[:ne]
     visited = jnp.zeros((nw,), jnp.uint32)
     bit = jnp.uint32(1) << (e_ids & 31).astype(jnp.uint32)
     visited = visited.at[e_ids >> 5].add(bit)  # entry ids are unique by construction

@@ -85,15 +85,23 @@ def exact_knn(
     return ids_out, dist_out
 
 
-@functools.partial(jax.jit, static_argnames=("r", "alpha"))
+@functools.partial(jax.jit, static_argnames=("r", "alpha", "keep_closest"))
 def _robust_prune_block(
     p_emb: jnp.ndarray,  # [B, D] node embeddings
     cand_ids: jnp.ndarray,  # [B, C] candidate ids (-1 = invalid)
     cand_emb: jnp.ndarray,  # [B, C, D]
     r: int,
     alpha: float,
+    keep_closest: int = 0,
 ):
-    """Vamana robust prune, batched over B nodes -> selected ids i32[B, R]."""
+    """Vamana robust prune, batched over B nodes -> selected ids i32[B, R].
+
+    The first ``keep_closest`` picks skip the occlusion rule: tightly clustered
+    corpora (near-duplicate chunks) otherwise lose their nearest neighbors to
+    diversity pruning, which measurably hurts top-k recall — keeping the
+    closest quarter restores it while α-pruning still supplies long-range
+    edges (the reference's high-degree/hub-preservation concern,
+    convert_to_csr.py:487-548, solved TPU-style)."""
     B, C, D = cand_emb.shape
     d_pc = jnp.sum(jnp.square(cand_emb - p_emb[:, None, :]), axis=-1)  # [B, C]
     d_pc = jnp.where(cand_ids >= 0, d_pc, INF)
@@ -102,7 +110,7 @@ def _robust_prune_block(
     nrm = jnp.sum(jnp.square(cand_emb), axis=-1)
     d_cc = nrm[:, :, None] + nrm[:, None, :] - 2.0 * cc_dots  # [B, C, C]
 
-    def step(carry, _):
+    def step(carry, t):
         alive, dpc = carry
         j = jnp.argmin(jnp.where(alive, dpc, INF), axis=1)  # [B]
         ok = jnp.take_along_axis(alive, j[:, None], axis=1)[:, 0] & (
@@ -111,12 +119,13 @@ def _robust_prune_block(
         sel = jnp.where(ok, jnp.take_along_axis(cand_ids, j[:, None], axis=1)[:, 0], -1)
         # occlusion: drop x with alpha * d(c, x) <= d(p, x)
         d_jx = jnp.take_along_axis(d_cc, j[:, None, None], axis=1)[:, 0, :]  # [B, C]
-        alive = alive & ~(alpha * d_jx <= dpc)
+        occl = alpha * d_jx <= dpc
+        alive = jnp.where(t >= keep_closest, alive & ~occl, alive)
         alive = alive.at[jnp.arange(B), j].set(False)
         return (alive, dpc), sel
 
     alive0 = cand_ids >= 0
-    (_, _), sels = jax.lax.scan(step, (alive0, d_pc), None, length=r)
+    (_, _), sels = jax.lax.scan(step, (alive0, d_pc), jnp.arange(r))
     return sels.T  # [B, R]
 
 
@@ -125,16 +134,20 @@ def build_graph(
     r: int = 32,
     candidate_factor: int = 2,
     alpha: float = 1.2,
+    keep_closest: int = -1,  # -1 = auto (r // 4)
     query_block: int = 1024,
     prune_block: int = 512,
 ) -> Tuple[np.ndarray, int]:
     """Build a fixed-degree navigable graph. -> (neighbors i32[N, R], medoid).
 
-    knn(C=r*candidate_factor) → α-prune to ≤R → reverse-edge fill to R.
+    knn(C=r*candidate_factor) → α-prune to ≤R (keeping the closest
+    ``keep_closest`` unconditionally) → reverse-edge fill to R.
     """
     n, d = emb.shape
     r = min(r, max(n - 1, 1))
     c = min(r * candidate_factor, max(n - 1, 1))
+    if keep_closest < 0:
+        keep_closest = r // 4
     knn_ids, _ = exact_knn(emb, c, query_block=query_block)
     dev_emb = jnp.asarray(emb)
     neighbors = np.empty((n, r), np.int32)
@@ -142,7 +155,7 @@ def build_graph(
         e = min(s + prune_block, n)
         cid = jnp.asarray(knn_ids[s:e])
         cemb = dev_emb[jnp.clip(cid, 0, n - 1)] * (cid >= 0)[:, :, None]
-        sel = _robust_prune_block(dev_emb[s:e], cid, cemb, r, float(alpha))
+        sel = _robust_prune_block(dev_emb[s:e], cid, cemb, r, float(alpha), keep_closest)
         neighbors[s:e] = np.asarray(sel)
     # reverse-edge augmentation: fill empty (-1) slots with in-edges
     adj = [list(row[row >= 0]) for row in neighbors]

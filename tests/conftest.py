@@ -1,13 +1,21 @@
 """Test config: run JAX on a virtual 8-device CPU mesh so multi-chip sharding
-paths are exercised without TPU hardware (SURVEY.md §4 takeaway)."""
+paths are exercised without TPU hardware (SURVEY.md §4 takeaway).
+
+Note: this environment pre-imports jax at interpreter startup with
+JAX_PLATFORMS=axon, so env vars alone are too late — use the runtime config
+API (safe because the backend is initialized lazily, on first device use).
+"""
 
 import os
 
-# Must be set before jax import anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
