@@ -1,0 +1,239 @@
+"""Chunking / loaders / CLI / MCP tests (reference test strategy:
+test_astchunk_integration.py, test_ci_minimal.py CLI smoke, test_document_rag)."""
+
+import json
+import os
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+
+class TestChunking:
+    def test_traditional_chunk_sizes(self):
+        from leann_tpu.chunking import create_traditional_chunks
+
+        text = ". ".join(f"sentence number {i} with several words here" for i in range(100))
+        chunks = create_traditional_chunks([text], chunk_size=50, chunk_overlap=10)
+        assert len(chunks) > 5
+        assert all(len(c["text"].split()) <= 60 for c in chunks)
+
+    def test_overlap_carries_text(self):
+        from leann_tpu.chunking import create_traditional_chunks
+
+        text = ". ".join(f"s{i} alpha beta gamma delta" for i in range(40))
+        chunks = create_traditional_chunks([text], chunk_size=30, chunk_overlap=15)
+        # consecutive chunks share at least one sentence
+        shared = sum(
+            any(s in chunks[i + 1]["text"] for s in chunks[i]["text"].split(". ")[-2:])
+            for i in range(len(chunks) - 1)
+        )
+        assert shared >= len(chunks) // 2
+
+    def test_metadata_propagates(self):
+        from leann_tpu.chunking import create_traditional_chunks
+
+        chunks = create_traditional_chunks(["hello world. " * 100], 40, 0, [{"src": "x"}])
+        assert all(c["metadata"]["src"] == "x" for c in chunks)
+
+    def test_python_ast_chunking(self):
+        from leann_tpu.chunking import create_ast_chunks
+
+        src = textwrap.dedent('''
+            import os
+
+            def alpha():
+                """First function."""
+                return 1
+
+            class Big:
+                def method_one(self):
+                    return "one"
+
+                def method_two(self):
+                    return "two"
+
+            def omega():
+                return 3
+        ''')
+        chunks = create_ast_chunks([{"text": src, "metadata": {"file_path": "m.py"}}], max_chunk_size=10)
+        joined = "\n".join(c["text"] for c in chunks)
+        assert "def alpha" in joined and "def omega" in joined
+        # function bodies stay intact inside a single chunk
+        assert any("def alpha" in c["text"] and "return 1" in c["text"] for c in chunks)
+
+    def test_ast_fallback_on_syntax_error(self):
+        from leann_tpu.chunking import create_ast_chunks
+
+        chunks = create_ast_chunks([{"text": "def broken(:\n  pass", "metadata": {"file_path": "b.py"}}])
+        assert chunks and chunks[0]["text"]
+
+    def test_heuristic_code_chunking(self):
+        from leann_tpu.chunking import create_ast_chunks
+
+        src = "func main() {\n\tfmt.Println(1)\n}\n\nfunc helper() {\n\treturn\n}\n"
+        chunks = create_ast_chunks([{"text": src, "metadata": {"file_path": "m.go"}}], max_chunk_size=4)
+        assert len(chunks) >= 2
+
+    def test_unified_router(self):
+        from leann_tpu.chunking import create_text_chunks
+
+        docs = [
+            {"text": "prose sentence one. prose sentence two.", "metadata": {"file_path": "a.txt"}},
+            {"text": "def f():\n    return 1\n", "metadata": {"file_path": "a.py"}},
+        ]
+        chunks = create_text_chunks(docs, use_ast_chunking=True)
+        assert len(chunks) == 2
+
+
+class TestLoaders:
+    def test_load_documents_with_gitignore(self, tmp_path):
+        from leann_tpu.loaders import load_documents
+
+        (tmp_path / "keep.txt").write_text("keep me please")
+        (tmp_path / "skip.log").write_text("skip me")
+        (tmp_path / ".gitignore").write_text("*.log\nsecret/\n")
+        (tmp_path / "secret").mkdir()
+        (tmp_path / "secret" / "hidden.txt").write_text("secret stuff")
+        (tmp_path / ".hidden.txt").write_text("hidden file")
+        docs = load_documents(str(tmp_path))
+        names = {d["metadata"]["file_name"] for d in docs}
+        assert names == {"keep.txt"}
+
+    def test_single_file(self, tmp_path):
+        from leann_tpu.loaders import load_documents
+
+        f = tmp_path / "doc.md"
+        f.write_text("# title\nbody text")
+        docs = load_documents(str(f))
+        assert len(docs) == 1 and "body text" in docs[0]["text"]
+
+    def test_max_items(self, tmp_path):
+        from leann_tpu.loaders import load_documents
+
+        for i in range(5):
+            (tmp_path / f"f{i}.txt").write_text(f"content {i}")
+        assert len(load_documents(str(tmp_path), max_items=2)) == 2
+
+    def test_builtin_pdf_reader(self):
+        from leann_tpu.loaders import extract_pdf_text
+
+        path = "/root/reference/data/2506.08276v1.pdf"
+        if not os.path.exists(path):
+            pytest.skip("fixture pdf missing")
+        text = extract_pdf_text(path)
+        assert len(text) > 1000  # best-effort extraction finds real text
+
+
+class TestCLI:
+    def _run(self, args, cwd):
+        env = dict(os.environ, JAX_PLATFORMS="cpu", LEANN_HOME=str(cwd / "home"))
+        return subprocess.run(
+            [sys.executable, "-m", "leann_tpu.cli", *args],
+            capture_output=True, text=True, cwd=str(cwd), timeout=500,
+            env={**env, "PYTHONPATH": os.path.dirname(os.path.dirname(os.path.abspath(__file__)))},
+        )
+
+    def test_help(self, tmp_path):
+        out = self._run(["--help"], tmp_path)
+        assert out.returncode == 0
+        for sub in ("build", "search", "ask", "list", "remove"):
+            assert sub in out.stdout
+
+    @pytest.mark.slow
+    def test_build_search_ask_list_remove(self, tmp_path):
+        docs = tmp_path / "docs"
+        docs.mkdir()
+        (docs / "a.txt").write_text("jupiter is the largest planet in the solar system. " * 5)
+        (docs / "b.txt").write_text("the stock market fluctuates based on investor sentiment. " * 5)
+        r = self._run(["build", "demo", "--docs", str(docs), "--backend", "hnsw",
+                       "--embedding-model", "hash-tiny", "--max-length", "64", "-M", "4"], tmp_path)
+        assert r.returncode == 0, r.stderr
+        assert (tmp_path / ".leann" / "indexes" / "demo" / "documents.leann.meta.json").exists()
+
+        r = self._run(["search", "demo", "largest planet", "--top-k", "1",
+                       "--complexity", "8", "--beam-width", "2", "--non-interactive"], tmp_path)
+        assert r.returncode == 0, r.stderr
+        assert "jupiter" in r.stdout.lower()
+
+        r = self._run(["ask", "demo", "what is the largest planet?", "--llm", "simulated",
+                       "--complexity", "8"], tmp_path)
+        assert r.returncode == 0, r.stderr
+        assert "simulated" in r.stdout
+
+        r = self._run(["list"], tmp_path)
+        assert r.returncode == 0 and "demo" in r.stdout
+
+        r = self._run(["remove", "demo", "--force"], tmp_path)
+        assert r.returncode == 0, r.stderr
+        r = self._run(["list"], tmp_path)
+        assert "demo" not in r.stdout
+
+
+class TestMCP:
+    def test_initialize_and_tools_list(self):
+        from leann_tpu.mcp import handle_request
+
+        resp = handle_request({"jsonrpc": "2.0", "id": 1, "method": "initialize", "params": {}})
+        assert resp["result"]["serverInfo"]["name"] == "leann-tpu-mcp"
+        resp = handle_request({"jsonrpc": "2.0", "id": 2, "method": "tools/list"})
+        names = {t["name"] for t in resp["result"]["tools"]}
+        assert names == {"leann_search", "leann_list"}
+
+    def test_unknown_method(self):
+        from leann_tpu.mcp import handle_request
+
+        resp = handle_request({"jsonrpc": "2.0", "id": 3, "method": "nope"})
+        assert "error" in resp
+
+    def test_notification_returns_none(self):
+        from leann_tpu.mcp import handle_request
+
+        assert handle_request({"jsonrpc": "2.0", "method": "notifications/initialized"}) is None
+
+
+class TestEmailReader:
+    def test_parse_emlx(self, tmp_path):
+        from apps.email_data.email_reader import parse_emlx
+
+        msg = (b"Subject: Hello\r\nFrom: a@x.com\r\nTo: b@y.com\r\nDate: Mon, 1 Jan 2024 00:00:00 +0000\r\n"
+               b"Content-Type: text/plain\r\n\r\nThis is the email body.\r\n")
+        raw = str(len(msg)).encode() + b"\n" + msg + b"<plist>trailing</plist>"
+        f = tmp_path / "1.emlx"
+        f.write_bytes(raw)
+        parsed = parse_emlx(str(f))
+        assert parsed["subject"] == "Hello"
+        assert "email body" in parsed["body"]
+
+
+class TestWeChatReader:
+    def test_load_export(self, tmp_path):
+        from apps.history_data.wechat_history import load_wechat_export
+
+        data = [{"contact": "alice", "messages": [
+            {"from": "alice", "time": "2024-01-01", "text": "hello <img>x</img>"},
+            {"from": "me", "time": "2024-01-01", "text": "hi [smile]"},
+        ]}]
+        (tmp_path / "alice.json").write_text(json.dumps(data))
+        chunks = load_wechat_export(str(tmp_path), window=10)
+        assert len(chunks) == 1
+        assert "hello" in chunks[0]["text"] and "<img>" not in chunks[0]["text"]
+        assert chunks[0]["metadata"]["contact"] == "alice"
+
+
+class TestBrowserReader:
+    def test_load_history_sqlite(self, tmp_path):
+        import sqlite3
+
+        from apps.history_data.history import load_history
+
+        db = tmp_path / "History"
+        conn = sqlite3.connect(db)
+        conn.execute("CREATE TABLE urls (id INTEGER, title TEXT, url TEXT, visit_count INTEGER, last_visit_time INTEGER)")
+        conn.execute("INSERT INTO urls VALUES (1, 'JAX docs', 'https://jax.dev', 5, 1000)")
+        conn.commit()
+        conn.close()
+        entries = load_history([str(db)])
+        assert entries[0]["title"] == "JAX docs"
