@@ -10,6 +10,26 @@ embedding-server subprocess.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: big-N programs take minutes to compile on
+# TPU; caching makes every process after the first start warm. Opt out with
+# LEANN_JAX_CACHE=0.
+if _os.environ.get("LEANN_JAX_CACHE", "1") != "0":
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("JAX_COMPILATION_CACHE_DIR", _os.path.expanduser("~/.cache/leann_tpu_jax")),
+        )
+        # default thresholds skip entries on some platforms; compiles via the
+        # TPU tunnel cost tens of seconds, so cache everything
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 from .api import LeannBuilder, LeannChat, LeannSearcher, PassageManager, SearchResult  # noqa: F401
 from .registry import (  # noqa: F401
     autodiscover_backends,

@@ -71,10 +71,12 @@ class PassageManager:
     (reference api.py:119-268, built for 60M+ corpora). Also resolves paths
     relative to the meta.json location so indexes are portable."""
 
-    def __init__(self, passage_sources: List[Dict[str, Any]], meta_dir: "str | None" = None):
+    def __init__(self, passage_sources: List[Dict[str, Any]], meta_dir: "str | None" = None,
+                 use_native: bool = True):
         self._sources: List[Dict[str, Any]] = []
         self._offsets: List[Dict[str, int]] = []
         self._id_to_source: Dict[str, int] = {}
+        self._native: List[Any] = []  # per-source NativePassageStore | None
         self.filter_engine = MetadataFilterEngine()
         for src in passage_sources:
             path = self._resolve(src["path"], meta_dir)
@@ -84,6 +86,16 @@ class PassageManager:
             si = len(self._sources)
             self._sources.append({**src, "path": path})
             self._offsets.append(offsets)
+            native = None
+            if use_native:
+                try:
+                    from .runtime.passage_store import NativePassageStore, native_available
+
+                    if native_available():
+                        native = NativePassageStore(path)
+                except Exception as e:  # fall back to Python seeks
+                    logger.debug("native passage store unavailable for %s: %s", path, e)
+            self._native.append(native)
             for pid in offsets:
                 self._id_to_source[pid] = si
 
@@ -110,6 +122,11 @@ class PassageManager:
         si = self._id_to_source.get(pid)
         if si is None:
             raise KeyError(f"passage id {pid!r} not found")
+        native = self._native[si]
+        if native is not None:
+            p = native.get(pid)
+            if p is not None:
+                return p
         offset = self._offsets[si][pid]
         with open(self._sources[si]["path"], "rb") as f:
             f.seek(offset)
@@ -330,17 +347,7 @@ class LeannSearcher:
         top_k = max(1, min(top_k, n))
         if recompute_embeddings is None:
             recompute_embeddings = bool(self.meta.get("is_recompute", False))
-        if isinstance(query, str):
-            q = self.backend.compute_query_embedding(query)
-        else:
-            q = np.ascontiguousarray(query, dtype=np.float32)
-            if q.ndim == 1:
-                q = q[None, :]
-        if self.distance_metric == "cosine":
-            q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-        out = self.backend.search(
-            q,
-            top_k,
+        search_params = dict(
             complexity=complexity,
             beam_width=beam_width,
             prune_ratio=prune_ratio,
@@ -349,6 +356,25 @@ class LeannSearcher:
             batch_size=batch_size,
             **kwargs,
         )
+        search_text = getattr(self.backend, "search_text", None)
+        if (
+            isinstance(query, str)
+            and search_text is not None
+            and self.embedding_mode in ("tpu", "jax", "sentence-transformers", "hf", "mlx")
+        ):
+            # fused path: query encoding happens inside the search program —
+            # one device dispatch instead of encode + search round-trips
+            out = search_text(query, top_k, **search_params)
+        else:
+            if isinstance(query, str):
+                q = self.backend.compute_query_embedding(query)
+            else:
+                q = np.ascontiguousarray(query, dtype=np.float32)
+                if q.ndim == 1:
+                    q = q[None, :]
+            if self.distance_metric == "cosine":
+                q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+            out = self.backend.search(q, top_k, **search_params)
         labels, distances = out["labels"], out["distances"]
         results: List[SearchResult] = []
         id_list = getattr(self.backend, "id_list", None)

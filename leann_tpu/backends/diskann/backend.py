@@ -33,7 +33,7 @@ from ...interface import (
     LeannBackendFactoryInterface,
     LeannBackendSearcherInterface,
 )
-from ...ops.beam_search import BeamConfig, GraphData, beam_search_batch
+from ...ops.beam_search import BeamConfig, GraphData, beam_search_batch, beam_search_text_batch
 from ...ops.graph import build_graph
 from ...ops.pq import choose_m, encode_pq_blocked, train_pq
 from ...registry import register_backend
@@ -137,6 +137,26 @@ class DiskannSearcher(BaseSearcher, LeannBackendSearcherInterface):
         self,
         query: np.ndarray,
         top_k: int,
+        **kwargs,
+    ) -> Dict[str, np.ndarray]:
+        cfg, enc_params = self._make_cfg(top_k, **kwargs)
+        q = jnp.asarray(np.ascontiguousarray(query, dtype=np.float32))
+        labels, dists, steps = beam_search_batch(q, self._graph_data(), cfg, enc_params)
+        return {"labels": np.asarray(labels), "distances": np.asarray(dists)}
+
+    def search_text(self, query: str, top_k: int, **kwargs) -> Dict[str, np.ndarray]:
+        """Fused single-dispatch path (see hnsw.search_text)."""
+        cfg, enc_params = self._make_cfg(top_k, need_encoder=True, **kwargs)
+        enc = self._encoder()
+        q_ids, q_mask = enc.tokenize([query])
+        labels, dists, steps = beam_search_text_batch(
+            jnp.asarray(q_ids), jnp.asarray(q_mask), self._graph_data(), cfg, enc_params
+        )
+        return {"labels": np.asarray(labels), "distances": np.asarray(dists)}
+
+    def _make_cfg(
+        self,
+        top_k: int,
         *,
         complexity: int = 64,
         beam_width: int = 4,
@@ -145,12 +165,12 @@ class DiskannSearcher(BaseSearcher, LeannBackendSearcherInterface):
         pruning_strategy: str = "global",
         batch_size: int = 0,
         zmq_port: Optional[int] = None,
+        need_encoder: bool = False,
         **kwargs,
-    ) -> Dict[str, np.ndarray]:
+    ):
         if pruning_strategy == "proportional":
             # parity: unsupported on DiskANN (diskann_backend.py:429-433)
             raise ValueError("pruning_strategy='proportional' is not supported by the diskann backend")
-        q = jnp.asarray(np.ascontiguousarray(query, dtype=np.float32))
         l = max(complexity, top_k, beam_width)
         beam = max(1, min(beam_width, l))
         enc_params = None
@@ -167,6 +187,9 @@ class DiskannSearcher(BaseSearcher, LeannBackendSearcherInterface):
                 rerank_source = "stored"
             else:
                 raise RuntimeError("recompute requested but index has no token store")
+        if need_encoder and enc_cfg is None:
+            enc = self._encoder()
+            enc_params, enc_cfg = enc.params, enc.cfg
         cfg = BeamConfig(
             metric=self.metric,
             k=top_k,
@@ -180,8 +203,7 @@ class DiskannSearcher(BaseSearcher, LeannBackendSearcherInterface):
             normalize=(self.metric == "cosine"),
             enc_cfg=enc_cfg,
         )
-        labels, dists, steps = beam_search_batch(q, self._graph_data(), cfg, enc_params)
-        return {"labels": np.asarray(labels), "distances": np.asarray(dists)}
+        return cfg, enc_params
 
     def _graph_data(self) -> GraphData:
         return GraphData(

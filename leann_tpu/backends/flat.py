@@ -40,22 +40,45 @@ class FlatBuilder(LeannBackendBuilderInterface):
         save_ids(index_path, ids)
 
 
+PALLAS_MIN_N = 16384  # below this the XLA path is trivially fast anyway
+PALLAS_TILE = 2048
+
+
 class FlatSearcher(BaseSearcher, LeannBackendSearcherInterface):
     def __init__(self, index_path: str, **kwargs):
         super().__init__(index_path, **kwargs)
+        import jax
+
         z = np.load(f"{index_path}.flat.npz")
         emb = z["embeddings"]
         self.metric = str(z["metric"])
         self.n = emb.shape[0]
-        n_pad = round_up(self.n, 128)
+        self._use_pallas = jax.default_backend() != "cpu" and self.n >= PALLAS_MIN_N
+        pad_to = PALLAS_TILE if self._use_pallas else 128
+        n_pad = round_up(self.n, pad_to)
         if n_pad != self.n:
             emb = np.concatenate([emb, np.zeros((n_pad - self.n, emb.shape[1]), np.float32)])
-        self._emb = jnp.asarray(emb)  # resident in HBM
+        if self._use_pallas:
+            # bf16-resident corpus (half the HBM) + fused distance/top-k
+            # kernel; f32 row norms keep l2 exact
+            self._emb = jnp.asarray(emb, jnp.bfloat16)
+            self._en = jnp.sum(jnp.square(jnp.asarray(emb)), axis=1)[None, :]
+        else:
+            self._emb = jnp.asarray(emb)
+            self._en = None
         self._valid_n = jnp.int32(self.n)
 
     def search(self, query: np.ndarray, top_k: int, **kwargs) -> Dict[str, np.ndarray]:
         q = jnp.asarray(np.ascontiguousarray(query, dtype=np.float32))
-        labels, dists = flat_search(self._emb, q, self._valid_n, min(top_k, self.n), self.metric)
+        k = min(top_k, self.n)
+        if self._use_pallas:
+            from ..ops.pallas_topk import pallas_flat_search
+
+            labels, dists = pallas_flat_search(
+                self._emb, q, self._valid_n, k, self.metric, tile=PALLAS_TILE, en=self._en
+            )
+        else:
+            labels, dists = flat_search(self._emb, q, self._valid_n, k, self.metric)
         return {"labels": np.asarray(labels), "distances": np.asarray(dists)}
 
 

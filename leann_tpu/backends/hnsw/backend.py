@@ -36,7 +36,7 @@ from ...interface import (
     LeannBackendFactoryInterface,
     LeannBackendSearcherInterface,
 )
-from ...ops.beam_search import BeamConfig, GraphData, beam_search_batch
+from ...ops.beam_search import BeamConfig, GraphData, beam_search_batch, beam_search_text_batch
 from ...ops.graph import build_graph
 from ...ops.pq import choose_m, encode_pq_blocked, train_pq
 from ...registry import register_backend
@@ -157,21 +157,17 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
             codebooks=self.codebooks,
         )
 
-    def search(
+    def _make_cfg(
         self,
-        query: np.ndarray,
         top_k: int,
-        *,
-        complexity: int = 64,
-        beam_width: int = 4,
-        prune_ratio: float = 0.0,
-        recompute_embeddings: bool = True,
-        pruning_strategy: str = "global",
-        batch_size: int = 0,
-        zmq_port: Optional[int] = None,
-        **kwargs,
-    ) -> Dict[str, np.ndarray]:
-        q = jnp.asarray(np.ascontiguousarray(query, dtype=np.float32))
+        complexity: int,
+        beam_width: int,
+        prune_ratio: float,
+        recompute_embeddings: bool,
+        pruning_strategy: str,
+        batch_size: int,
+        need_encoder: bool = False,
+    ):
         l = max(complexity, top_k, beam_width)
         beam = max(1, min(beam_width, l))
         f = beam * int(self.neighbors.shape[1])
@@ -184,13 +180,13 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
                         "compact index has no embeddings and no token store; cannot search"
                     )
                 recompute_embeddings = False
-            else:
-                enc = self._encoder()
-                enc_params, enc_cfg = enc.params, enc.cfg
         if not recompute_embeddings and self.emb.shape == (1, 1):
             # parity: recompute=False on a pruned/compact index is an error
             # (reference hnsw_backend.py:189-193)
             raise RuntimeError("recompute_embeddings=False requires a non-compact index")
+        if recompute_embeddings or need_encoder:
+            enc = self._encoder()
+            enc_params, enc_cfg = enc.params, enc.cfg
 
         traversal = "recompute" if recompute_embeddings else "stored"
         prune_keep = 0
@@ -216,7 +212,55 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
             normalize=(self.metric == "cosine"),
             enc_cfg=enc_cfg,
         )
+        return cfg, enc_params
+
+    def search(
+        self,
+        query: np.ndarray,
+        top_k: int,
+        *,
+        complexity: int = 64,
+        beam_width: int = 4,
+        prune_ratio: float = 0.0,
+        recompute_embeddings: bool = True,
+        pruning_strategy: str = "global",
+        batch_size: int = 0,
+        zmq_port: Optional[int] = None,
+        **kwargs,
+    ) -> Dict[str, np.ndarray]:
+        q = jnp.asarray(np.ascontiguousarray(query, dtype=np.float32))
+        cfg, enc_params = self._make_cfg(
+            top_k, complexity, beam_width, prune_ratio, recompute_embeddings,
+            pruning_strategy, batch_size,
+        )
         labels, dists, steps = beam_search_batch(q, self._graph_data(), cfg, enc_params)
+        return {"labels": np.asarray(labels), "distances": np.asarray(dists)}
+
+    def search_text(
+        self,
+        query: str,
+        top_k: int,
+        *,
+        complexity: int = 64,
+        beam_width: int = 4,
+        prune_ratio: float = 0.0,
+        recompute_embeddings: bool = True,
+        pruning_strategy: str = "global",
+        batch_size: int = 0,
+        zmq_port: Optional[int] = None,
+        **kwargs,
+    ) -> Dict[str, np.ndarray]:
+        """Fused single-dispatch path: query tokens -> on-chip encode ->
+        beam search, one device round-trip total."""
+        cfg, enc_params = self._make_cfg(
+            top_k, complexity, beam_width, prune_ratio, recompute_embeddings,
+            pruning_strategy, batch_size, need_encoder=True,
+        )
+        enc = self._encoder()
+        q_ids, q_mask = enc.tokenize([query])
+        labels, dists, steps = beam_search_text_batch(
+            jnp.asarray(q_ids), jnp.asarray(q_mask), self._graph_data(), cfg, enc_params
+        )
         return {"labels": np.asarray(labels), "distances": np.asarray(dists)}
 
 

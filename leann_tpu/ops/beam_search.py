@@ -235,5 +235,17 @@ def beam_search_batch(q: jnp.ndarray, g: GraphData, cfg: BeamConfig, enc_params=
     return jax.vmap(lambda qi: _search_one(qi, g, cfg, enc_params))(q)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def beam_search_text_batch(q_ids: jnp.ndarray, q_mask: jnp.ndarray, g: GraphData,
+                           cfg: BeamConfig, enc_params):
+    """Fused query-encode + search: tokens in, results out, ONE device
+    dispatch per query batch (host<->device round-trips cost tens of ms
+    through a TPU tunnel; the reference pays a ZMQ hop here instead)."""
+    q = encode_tokens(enc_params, q_ids, q_mask, cfg.enc_cfg)
+    if cfg.normalize and not cfg.enc_cfg.normalize:
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    return jax.vmap(lambda qi: _search_one(qi, g, cfg, enc_params))(q)
+
+
 def make_dummy(shape=(1, 1), dtype=jnp.float32):
     return jnp.zeros(shape, dtype)
