@@ -19,14 +19,21 @@ if _os.environ.get("LEANN_JAX_CACHE", "1") != "0":
     try:
         import jax as _jax
 
-        _jax.config.update(
-            "jax_compilation_cache_dir",
-            _os.environ.get("JAX_COMPILATION_CACHE_DIR", _os.path.expanduser("~/.cache/leann_tpu_jax")),
-        )
-        # default thresholds skip entries on some platforms; compiles via the
-        # TPU tunnel cost tens of seconds, so cache everything
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        # per-platform subdir; skip CPU entirely (XLA:CPU AOT reload trips on
+        # pseudo-features like +prefer-no-gather and recompiles anyway)
+        _platform = (_jax.config.jax_platforms or "auto").split(",")[0]
+        if _platform not in ("cpu",):
+            _jax.config.update(
+                "jax_compilation_cache_dir",
+                _os.path.join(
+                    _os.environ.get("JAX_COMPILATION_CACHE_DIR", _os.path.expanduser("~/.cache/leann_tpu_jax")),
+                    _platform,
+                ),
+            )
+            # default thresholds skip entries on some platforms; compiles via
+            # the TPU tunnel cost tens of seconds, so cache everything
+            _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+            _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 

@@ -35,6 +35,7 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 INF = jnp.float32(3.4e38)
+EXACT_KNN_MAX_N = 65536  # beyond this, build_graph switches to NN-descent
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -83,6 +84,96 @@ def exact_knn(
         ids_out[qs : qs + qe.shape[0]] = ri
         dist_out[qs : qs + qe.shape[0]] = rd
     return ids_out, dist_out
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _block_cand_topk(pe: jnp.ndarray, cand_ids: jnp.ndarray, cand_emb: jnp.ndarray, k: int):
+    """pe [B, D], cand_ids [B, C] (-1/dup slots masked), cand_emb [B, C, D]
+    -> (ids [B, k], dists [B, k]) closest candidates per row (squared l2)."""
+    d = jnp.sum(jnp.square(cand_emb - pe[:, None, :]), axis=-1)
+    d = jnp.where(cand_ids >= 0, d, INF)
+    neg, pos = jax.lax.top_k(-d, k)
+    return jnp.take_along_axis(cand_ids, pos, axis=1), -neg
+
+
+def _reverse_sample(nbrs: np.ndarray, cap: int, rng: np.random.Generator) -> np.ndarray:
+    """Sampled reverse edges: for each node up to ``cap`` nodes that list it.
+    Vectorized host pass over the edge list."""
+    n, k = nbrs.shape
+    src = np.repeat(np.arange(n, dtype=np.int32), k)
+    dst = nbrs.ravel()
+    keep = dst >= 0
+    src, dst = src[keep], dst[keep]
+    order = rng.permutation(src.size)
+    src, dst = src[order], dst[order]
+    sort_i = np.argsort(dst, kind="stable")
+    dst_s, src_s = dst[sort_i], src[sort_i]
+    # rank within each dst group
+    first = np.r_[True, dst_s[1:] != dst_s[:-1]]
+    group_start = np.maximum.accumulate(np.where(first, np.arange(dst_s.size), 0))
+    rank = np.arange(dst_s.size) - group_start
+    out = np.full((n, cap), -1, np.int32)
+    sel = rank < cap
+    out[dst_s[sel], rank[sel]] = src_s[sel]
+    return out
+
+
+def nn_descent(
+    emb: np.ndarray,
+    k: int,
+    n_iters: int = 6,
+    block: int = 2048,
+    seed: int = 0,
+    min_update_frac: float = 0.001,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Approximate k-NN graph by NN-descent — O(N·C·D) per iteration instead
+    of the exact O(N²·D), with every distance batch an MXU einsum. Candidates
+    per round: current neighbors + sampled reverse edges + sampled 2-hop.
+    -> (ids i32[N, k], dists f32[N, k])."""
+    n, d = emb.shape
+    rng = np.random.default_rng(seed)
+    dev = jnp.asarray(emb)
+    nbrs = rng.integers(0, n - 1, size=(n, k)).astype(np.int32)
+    nbrs = np.where(nbrs >= np.arange(n)[:, None], nbrs + 1, nbrs)  # avoid self
+    dists = np.full((n, k), np.float32(3.4e38))
+    # 2-hop width: full local join for small k, sampled columns for large k
+    hop_cols = min(k, max(2, 256 // max(k, 1)))
+    for it in range(n_iters):
+        rev = _reverse_sample(nbrs, k, rng)
+        cols = rng.choice(k, size=hop_cols, replace=False)
+        hop_seed = np.concatenate([nbrs[:, cols], rev[:, cols]], axis=1)  # [n, 2h]
+        two = nbrs[np.clip(hop_seed, 0, n - 1)].reshape(n, 2 * hop_cols * k)
+        two = np.where((hop_seed < 0).repeat(k, axis=1), -1, two)
+        # a few random candidates per round escape local minima on corpora
+        # with weak cluster structure
+        rand = rng.integers(0, n, size=(n, max(4, k // 4))).astype(np.int32)
+        cand = np.concatenate([nbrs, rev, two, rand], axis=1)
+        cand = np.where(cand == np.arange(n)[:, None], -1, cand)
+        # mask duplicate candidates per row (sorted scan)
+        srt_i = np.argsort(cand, axis=1, kind="stable")
+        srt = np.take_along_axis(cand, srt_i, axis=1)
+        dup_sorted = np.concatenate([np.zeros((n, 1), bool), srt[:, 1:] == srt[:, :-1]], axis=1)
+        dup = np.empty_like(dup_sorted)
+        np.put_along_axis(dup, srt_i, dup_sorted, axis=1)
+        cand = np.where(dup, -1, cand)
+        updated = 0
+        new_nbrs = np.empty_like(nbrs)
+        new_dists = np.empty_like(dists)
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            cid = jnp.asarray(cand[s:e])
+            cemb = dev[jnp.clip(cid, 0, n - 1)]
+            ids_b, d_b = _block_cand_topk(dev[s:e], cid, cemb, k)
+            new_nbrs[s:e] = np.asarray(ids_b)
+            new_dists[s:e] = np.asarray(d_b)
+        # membership change, not slot order (top_k reorders equal-quality
+        # neighbors freely — slotwise comparison never converges)
+        updated = int((np.sort(new_nbrs, axis=1) != np.sort(nbrs, axis=1)).sum())
+        nbrs, dists = new_nbrs, new_dists
+        logger.info("nn_descent iter %d: %.3f%% membership changed", it, 100 * updated / (n * k))
+        if updated < min_update_frac * n * k:
+            break
+    return nbrs, dists
 
 
 @functools.partial(jax.jit, static_argnames=("r", "alpha", "keep_closest"))
@@ -148,7 +239,12 @@ def build_graph(
     c = min(r * candidate_factor, max(n - 1, 1))
     if keep_closest < 0:
         keep_closest = r // 4
-    knn_ids, _ = exact_knn(emb, c, query_block=query_block)
+    if n > EXACT_KNN_MAX_N:
+        # O(N²) exact pass stops scaling; NN-descent gets ~the same candidate
+        # quality in O(N·C·D·iters)
+        knn_ids, _ = nn_descent(emb, c)
+    else:
+        knn_ids, _ = exact_knn(emb, c, query_block=query_block)
     dev_emb = jnp.asarray(emb)
     neighbors = np.empty((n, r), np.int32)
     for s in range(0, n, prune_block):
@@ -157,26 +253,31 @@ def build_graph(
         cemb = dev_emb[jnp.clip(cid, 0, n - 1)] * (cid >= 0)[:, :, None]
         sel = _robust_prune_block(dev_emb[s:e], cid, cemb, r, float(alpha), keep_closest)
         neighbors[s:e] = np.asarray(sel)
-    # reverse-edge augmentation: fill empty (-1) slots with in-edges
-    adj = [list(row[row >= 0]) for row in neighbors]
-    in_edges: list = [[] for _ in range(n)]
-    for u in range(n):
-        for v in adj[u]:
-            in_edges[v].append(u)
-    for v in range(n):
-        have = set(adj[v])
-        for u in in_edges[v]:
-            if len(adj[v]) >= r:
-                break
-            if u != v and u not in have:
-                adj[v].append(u)
-                have.add(u)
-    out = np.full((n, r), -1, np.int32)
-    for v in range(n):
-        out[v, : len(adj[v])] = adj[v][:r]
+    out = _fill_reverse_edges(neighbors, np.random.default_rng(0))
     medoid = compute_medoid(emb)
     logger.info("graph built: N=%d R=%d avg_deg=%.1f medoid=%d", n, r, (out >= 0).mean() * r, medoid)
     return out, medoid
+
+
+def _fill_reverse_edges(neighbors: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Fill pruned (-1) slots with sampled in-edges — vectorized host pass
+    (python loops don't scale to millions of nodes). Out-edges keep priority;
+    reverse edges pack into the remaining slots."""
+    n, r = neighbors.shape
+    rev = _reverse_sample(neighbors, r, rng)
+    cand = np.concatenate([neighbors, rev], axis=1)  # [n, 2r]
+    cand = np.where(cand == np.arange(n, dtype=np.int64)[:, None], -1, cand)
+    # dedup keeping the first (leftmost) occurrence
+    srt_i = np.argsort(cand, axis=1, kind="stable")
+    srt = np.take_along_axis(cand, srt_i, axis=1)
+    dup_sorted = np.concatenate([np.zeros((n, 1), bool), (srt[:, 1:] == srt[:, :-1]) & (srt[:, 1:] >= 0)], axis=1)
+    dup = np.empty_like(dup_sorted)
+    np.put_along_axis(dup, srt_i, dup_sorted, axis=1)
+    cand = np.where(dup, -1, cand)
+    # left-compact valid entries, preserving column order
+    key = np.where(cand < 0, 1 << 30, np.arange(2 * r, dtype=np.int64)[None, :])
+    order = np.argsort(key, axis=1, kind="stable")
+    return np.take_along_axis(cand, order, axis=1)[:, :r].astype(np.int32)
 
 
 def compute_medoid(emb: np.ndarray) -> int:

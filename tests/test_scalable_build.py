@@ -1,0 +1,86 @@
+"""NN-descent and vectorized reverse-fill tests (the large-N build path)."""
+
+import numpy as np
+
+
+class TestNNDescent:
+    def test_matches_exact_knn_clustered(self, rng):
+        """Clustered data (the realistic text-embedding regime — NN-descent's
+        design point). Uniform random high-dim data is its known worst case
+        and is covered by the looser bound below."""
+        from leann_tpu.ops.graph import exact_knn, nn_descent
+
+        n, d, k = 2000, 32, 10
+        centers = rng.standard_normal((20, d)).astype(np.float32) * 4
+        emb = (centers[rng.integers(0, 20, n)] + rng.standard_normal((n, d))).astype(np.float32)
+        ids_nd, _ = nn_descent(emb, k, n_iters=8, block=512)
+        ids_ex, _ = exact_knn(emb, k)
+        recall = np.mean([len(set(a) & set(b)) for a, b in zip(ids_nd.tolist(), ids_ex.tolist())]) / k
+        assert recall >= 0.9, f"nn-descent recall {recall}"
+
+    def test_uniform_random_lower_bound(self, rng):
+        from leann_tpu.ops.graph import exact_knn, nn_descent
+
+        n, d, k = 2000, 32, 10
+        emb = rng.standard_normal((n, d)).astype(np.float32)
+        ids_nd, _ = nn_descent(emb, k, n_iters=8, block=512)
+        ids_ex, _ = exact_knn(emb, k)
+        recall = np.mean([len(set(a) & set(b)) for a, b in zip(ids_nd.tolist(), ids_ex.tolist())]) / k
+        assert recall >= 0.7, f"nn-descent recall {recall}"
+
+    def test_no_self_or_dup(self, rng):
+        from leann_tpu.ops.graph import nn_descent
+
+        emb = rng.standard_normal((500, 16)).astype(np.float32)
+        ids, _ = nn_descent(emb, 8, n_iters=4, block=128)
+        for i in range(500):
+            row = [x for x in ids[i] if x >= 0]
+            assert i not in row
+            assert len(row) == len(set(row))
+
+
+class TestReverseFill:
+    def test_fill_and_dedup(self):
+        from leann_tpu.ops.graph import _fill_reverse_edges
+
+        nbrs = np.array([[1, -1, -1], [2, -1, -1], [0, 1, -1], [-1, -1, -1]], np.int32)
+        out = _fill_reverse_edges(nbrs, np.random.default_rng(0))
+        assert out.shape == nbrs.shape
+        # out-edges preserved in front
+        assert out[0, 0] == 1 and out[1, 0] == 2
+        # node 0 gains reverse edge from 2; node 3 keeps at least empty row
+        assert 2 in out[0]
+        for i in range(4):
+            row = [x for x in out[i] if x >= 0]
+            assert len(row) == len(set(row)) and i not in row
+
+    def test_big_graph_recall_via_build(self, rng):
+        """build_graph with forced nn-descent path still yields a searchable
+        graph (threshold monkeypatched down)."""
+        import leann_tpu.ops.graph as G
+        from leann_tpu.ops.beam_search import BeamConfig, GraphData, beam_search_batch
+        import jax.numpy as jnp
+
+        old = G.EXACT_KNN_MAX_N
+        G.EXACT_KNN_MAX_N = 100
+        try:
+            n, d = 1200, 24
+            emb = rng.standard_normal((n, d)).astype(np.float32)
+            g, medoid = G.build_graph(emb, r=16)
+        finally:
+            G.EXACT_KNN_MAX_N = old
+        dummy = jnp.zeros((1, 1), jnp.float32)
+        gd = GraphData(
+            neighbors=jnp.asarray(g),
+            entry_ids=jnp.asarray(np.arange(0, n, n // 16, dtype=np.int32)),
+            emb=jnp.asarray(emb), tokens=jnp.zeros((1, 1), jnp.int32),
+            lengths=jnp.zeros((1,), jnp.int32), codes=jnp.zeros((1, 1), jnp.uint8),
+            codebooks=dummy,
+        )
+        cfg = BeamConfig(metric="l2", k=10, complexity=64, beam=8, max_steps=64, traversal="stored")
+        q = emb[:16]
+        labels, _, _ = beam_search_batch(jnp.asarray(q), gd, cfg)
+        d2 = ((q[:, None, :] - emb[None, :, :]) ** 2).sum(-1)
+        truth = np.argsort(d2, axis=1)[:, :10]
+        rec = np.mean([len(set(a) & set(b.tolist())) for a, b in zip(np.asarray(labels).tolist(), truth)]) / 10
+        assert rec >= 0.85, f"recall {rec}"
