@@ -113,7 +113,11 @@ class HnswBuilder(LeannBackendBuilderInterface):
 
 
 class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
-    def __init__(self, index_path: str, **kwargs):
+    """``sharded=True`` (or ``sharded="auto"`` with >1 device) places the
+    graph/codes/tokens over a ``gp`` device mesh and runs the SPMD search
+    (parallel/sharded_search.py) — the multi-chip path the reference lacks."""
+
+    def __init__(self, index_path: str, sharded: "bool | str" = False, **kwargs):
         super().__init__(index_path, **kwargs)
         z = np.load(f"{index_path}.hnsw.npz", allow_pickle=False)
         self.neighbors = jnp.asarray(z["neighbors"])
@@ -136,6 +140,32 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
             self.lengths = jnp.zeros((1,), jnp.int32)
             self.has_tokens = False
         self._enc = None
+        self._sharded = None
+        if sharded is True or (sharded == "auto" and self._n_devices() > 1):
+            self._init_sharded(z)
+
+    def _n_devices(self) -> int:
+        import jax
+
+        return len(jax.devices())
+
+    def _init_sharded(self, z) -> None:
+        from ...parallel.mesh import graph_mesh
+        from ...parallel.sharded_search import ShardedSearcher
+
+        mesh = graph_mesh()
+        tok = self.load_tokens()
+        self._sharded = ShardedSearcher(
+            mesh,
+            np.asarray(z["neighbors"]),
+            entries=self.entries,
+            emb=np.asarray(z["embeddings"]) if "embeddings" in z else None,
+            tokens=tok[0] if tok else None,
+            lengths=tok[1] if tok else None,
+            codes=np.asarray(z["codes"]) if "codes" in z else None,
+            codebooks=np.asarray(z["codebooks"]) if "codebooks" in z else None,
+        )
+        logger.info("hnsw searcher sharded over %d devices", mesh.devices.size)
 
     # -- encoder state for on-chip recompute --------------------------------
 
@@ -233,6 +263,12 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
             top_k, complexity, beam_width, prune_ratio, recompute_embeddings,
             pruning_strategy, batch_size,
         )
+        if self._sharded is not None:
+            keep_local = 0
+            if cfg.prune_keep:
+                keep_local = max(1, cfg.prune_keep // self._n_devices())
+            labels, dists = self._sharded.search(np.asarray(q), cfg, enc_params, keep_local=keep_local)
+            return {"labels": labels, "distances": dists}
         labels, dists, steps = beam_search_batch(q, self._graph_data(), cfg, enc_params)
         return {"labels": np.asarray(labels), "distances": np.asarray(dists)}
 
@@ -257,6 +293,15 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
             pruning_strategy, batch_size, need_encoder=True,
         )
         enc = self._encoder()
+        if self._sharded is not None:
+            q = enc.encode([query])
+            if cfg.normalize:
+                q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+            keep_local = 0
+            if cfg.prune_keep:
+                keep_local = max(1, cfg.prune_keep // self._n_devices())
+            labels, dists = self._sharded.search(q, cfg, enc_params, keep_local=keep_local)
+            return {"labels": labels, "distances": dists}
         q_ids, q_mask = enc.tokenize([query])
         labels, dists, steps = beam_search_text_batch(
             jnp.asarray(q_ids), jnp.asarray(q_mask), self._graph_data(), cfg, enc_params
