@@ -205,6 +205,7 @@ class LeannBuilder:
             self.embedding_model,
             mode=self.embedding_mode,
             is_build=is_build,
+            batch_size=512 if is_build else 128,  # build is throughput-bound
             max_length=self.max_length,
             **({"dim": self.dimensions} if (self.dimensions and self.embedding_mode == "simulated") else {}),
         )
@@ -356,47 +357,63 @@ class LeannSearcher:
             batch_size=batch_size,
             **kwargs,
         )
+        is_text = isinstance(query, str) or (
+            isinstance(query, (list, tuple)) and query and isinstance(query[0], str)
+        )
+        single = isinstance(query, str)
         search_text = getattr(self.backend, "search_text", None)
         if (
-            isinstance(query, str)
+            is_text
             and search_text is not None
             and self.embedding_mode in ("tpu", "jax", "sentence-transformers", "hf", "mlx")
         ):
             # fused path: query encoding happens inside the search program —
-            # one device dispatch instead of encode + search round-trips
+            # one device dispatch for the whole (possibly batched) query set
             out = search_text(query, top_k, **search_params)
         else:
-            if isinstance(query, str):
+            if single:
                 q = self.backend.compute_query_embedding(query)
+            elif is_text:
+                q = compute_embeddings(list(query), self.embedding_model, mode=self.embedding_mode,
+                                       max_length=self.meta.get("max_length", 256))
             else:
                 q = np.ascontiguousarray(query, dtype=np.float32)
                 if q.ndim == 1:
                     q = q[None, :]
+                single = q.shape[0] == 1
             if self.distance_metric == "cosine":
                 q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
             out = self.backend.search(q, top_k, **search_params)
-        labels, distances = out["labels"], out["distances"]
-        results: List[SearchResult] = []
-        id_list = getattr(self.backend, "id_list", None)
-        for lbl, dist in zip(np.asarray(labels[0]).tolist(), np.asarray(distances[0]).tolist()):
-            if lbl < 0:
-                continue
-            pid = id_list[lbl] if id_list is not None else str(lbl)
-            try:
-                p = self.passage_manager.get_passage(pid)
-            except KeyError:
-                continue
-            results.append(SearchResult(id=pid, score=float(dist), text=p.get("text", ""),
-                                        metadata=p.get("metadata", {})))
-        if metadata_filters:
-            keep = self.passage_manager.filter_search_results(
-                [{"id": r.id, "text": r.text, "metadata": r.metadata} for r in results], metadata_filters
-            )
-            keep_ids = {k["id"] for k in keep}
-            results = [r for r in results if r.id in keep_ids]
-        logger.info("search(%r top_k=%d) -> %d results in %.3fs",
-                    (query[:40] if isinstance(query, str) else "<vec>"), top_k, len(results), time.time() - t0)
-        return results
+        labels, distances = np.asarray(out["labels"]), np.asarray(out["distances"])
+
+        def enrich(row_labels, row_dists) -> List[SearchResult]:
+            results: List[SearchResult] = []
+            id_list = getattr(self.backend, "id_list", None)
+            for lbl, dist in zip(row_labels.tolist(), row_dists.tolist()):
+                if lbl < 0:
+                    continue
+                pid = id_list[lbl] if id_list is not None else str(lbl)
+                try:
+                    p = self.passage_manager.get_passage(pid)
+                except KeyError:
+                    continue
+                results.append(SearchResult(id=pid, score=float(dist), text=p.get("text", ""),
+                                            metadata=p.get("metadata", {})))
+            if metadata_filters:
+                keep = self.passage_manager.filter_search_results(
+                    [{"id": r.id, "text": r.text, "metadata": r.metadata} for r in results],
+                    metadata_filters,
+                )
+                keep_ids = {k["id"] for k in keep}
+                results = [r for r in results if r.id in keep_ids]
+            return results
+
+        all_results = [enrich(labels[i], distances[i]) for i in range(labels.shape[0])]
+        logger.info("search(%r top_k=%d) -> %d row(s) in %.3fs",
+                    (query[:40] if isinstance(query, str) else f"<{labels.shape[0]} queries>"),
+                    top_k, len(all_results), time.time() - t0)
+        # single query -> flat list (reference behavior); batch -> list per query
+        return all_results[0] if single else all_results
 
     def cleanup(self) -> None:
         cleanup = getattr(self.backend, "cleanup", None)

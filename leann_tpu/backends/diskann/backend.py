@@ -144,11 +144,12 @@ class DiskannSearcher(BaseSearcher, LeannBackendSearcherInterface):
         labels, dists, steps = beam_search_batch(q, self._graph_data(), cfg, enc_params)
         return {"labels": np.asarray(labels), "distances": np.asarray(dists)}
 
-    def search_text(self, query: str, top_k: int, **kwargs) -> Dict[str, np.ndarray]:
-        """Fused single-dispatch path (see hnsw.search_text)."""
+    def search_text(self, query: "str | list", top_k: int, **kwargs) -> Dict[str, np.ndarray]:
+        """Fused single-dispatch path (see hnsw.search_text); accepts a batch."""
+        queries = [query] if isinstance(query, str) else list(query)
         cfg, enc_params = self._make_cfg(top_k, need_encoder=True, **kwargs)
         enc = self._encoder()
-        q_ids, q_mask = enc.tokenize([query])
+        q_ids, q_mask = enc.tokenize(queries)
         labels, dists, steps = beam_search_text_batch(
             jnp.asarray(q_ids), jnp.asarray(q_mask), self._graph_data(), cfg, enc_params
         )

@@ -274,7 +274,7 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
 
     def search_text(
         self,
-        query: str,
+        query: "str | list",
         top_k: int,
         *,
         complexity: int = 64,
@@ -287,14 +287,16 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
         **kwargs,
     ) -> Dict[str, np.ndarray]:
         """Fused single-dispatch path: query tokens -> on-chip encode ->
-        beam search, one device round-trip total."""
+        beam search, one device round-trip total. ``query`` may be a list of
+        strings — the whole batch runs in the same dispatch."""
+        queries = [query] if isinstance(query, str) else list(query)
         cfg, enc_params = self._make_cfg(
             top_k, complexity, beam_width, prune_ratio, recompute_embeddings,
             pruning_strategy, batch_size, need_encoder=True,
         )
         enc = self._encoder()
         if self._sharded is not None:
-            q = enc.encode([query])
+            q = enc.encode(queries)
             if cfg.normalize:
                 q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
             keep_local = 0
@@ -302,7 +304,7 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
                 keep_local = max(1, cfg.prune_keep // self._n_devices())
             labels, dists = self._sharded.search(q, cfg, enc_params, keep_local=keep_local)
             return {"labels": labels, "distances": dists}
-        q_ids, q_mask = enc.tokenize([query])
+        q_ids, q_mask = enc.tokenize(queries)
         labels, dists, steps = beam_search_text_batch(
             jnp.asarray(q_ids), jnp.asarray(q_mask), self._graph_data(), cfg, enc_params
         )

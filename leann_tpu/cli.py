@@ -20,7 +20,6 @@ import logging
 import os
 import shutil
 import sys
-from pathlib import Path
 from typing import List, Optional
 
 logger = logging.getLogger(__name__)

@@ -15,7 +15,7 @@ TPU-native deltas:
 from __future__ import annotations
 
 from abc import ABC, abstractmethod
-from typing import Any, Dict
+from typing import Dict
 
 import numpy as np
 

@@ -15,8 +15,6 @@ iteration — MXU-friendly).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -27,7 +27,6 @@ every device — no divergent control flow, so the whole while_loop stays SPMD.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax

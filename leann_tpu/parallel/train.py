@@ -12,7 +12,7 @@ recipe: pick a mesh, annotate, let the compiler place collectives on ICI).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

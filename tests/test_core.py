@@ -195,3 +195,39 @@ class TestBuilderSearcherFlat:
         chat = LeannChat(idx, llm_config={"type": "simulated"})
         answer = chat.ask("what is the largest planet?", top_k=2)
         assert "simulated" in answer and "planet" in answer.lower()
+
+
+class TestBatchedQueries:
+    def test_batched_text_search(self, tiny_corpus, tmp_path):
+        from leann_tpu import LeannBuilder, LeannSearcher
+
+        idx = str(tmp_path / "batch.leann")
+        b = LeannBuilder(backend_name="hnsw", embedding_model="hash-tiny", embedding_mode="tpu",
+                         max_length=32, M=4)
+        for text, md in tiny_corpus:
+            b.add_text(text, metadata=md)
+        b.build_index(idx)
+        s = LeannSearcher(idx)
+        res = s.search(
+            ["jupiter is the largest planet in the solar system",
+             "the stock market fluctuates based on investor sentiment"],
+            top_k=3, complexity=12, beam_width=2,
+        )
+        assert isinstance(res, list) and len(res) == 2
+        assert all(isinstance(row, list) and len(row) == 3 for row in res)
+        assert any("planet" in r.text or "jupiter" in r.text for r in res[0])
+        assert any("market" in r.text or "investor" in r.text for r in res[1])
+
+    def test_batched_vector_search(self, tiny_corpus, tmp_path, rng):
+        from leann_tpu import LeannBuilder, LeannSearcher
+        import numpy as np
+
+        n, d = 40, 16
+        emb = rng.standard_normal((n, d)).astype(np.float32)
+        idx = str(tmp_path / "batchv.leann")
+        b = LeannBuilder(backend_name="flat", embedding_mode="simulated", embedding_model="simulated",
+                         distance_metric="l2")
+        b.build_index_from_embeddings(idx, [str(i) for i in range(n)], emb)
+        s = LeannSearcher(idx)
+        res = s.search(emb[:3], top_k=1)
+        assert len(res) == 3 and [r[0].id for r in res] == ["0", "1", "2"]
