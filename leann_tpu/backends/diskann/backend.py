@@ -73,6 +73,26 @@ class DiskannBuilder(LeannBackendBuilderInterface):
         r = self.graph_degree
         cand_factor = max(2, min(8, self.complexity // max(r, 1)))
         neighbors, medoid = build_graph(data, r=r, candidate_factor=cand_factor, alpha=self.alpha)
+        n_parts = self.num_partitions
+        if n_parts <= 0:
+            import jax
+
+            n_parts = max(1, len(jax.devices()))
+        assign = ldg_partition(neighbors, n_parts, passes=self.partition_passes)
+        # relayout (parity with the reference's index_relayout C++ step,
+        # graph_partition.py:207-226): relabel nodes so each LDG partition is
+        # contiguous — device block-shards then coincide with partitions and
+        # frontier expansion mostly hits local HBM
+        order = np.argsort(assign, kind="stable").astype(np.int64)
+        new_of_old = np.empty(n, np.int64)
+        new_of_old[order] = np.arange(n)
+        neighbors = np.where(neighbors >= 0, new_of_old[np.clip(neighbors, 0, n - 1)], -1)[order].astype(np.int32)
+        data = data[order]
+        ids = [ids[i] for i in order]
+        medoid = int(new_of_old[medoid])
+        assign = assign[order]
+        self._permute_tokens(index_path, order)
+
         m = choose_m(d, self.pq_subspaces)
         codebooks = train_pq(data, m=m)
         codes = encode_pq_blocked(data, codebooks)
@@ -89,12 +109,6 @@ class DiskannBuilder(LeannBackendBuilderInterface):
         if not self.is_recompute:
             payload["embeddings"] = data
         np.savez(f"{index_path}.diskann.npz", **payload)
-        n_parts = self.num_partitions
-        if n_parts <= 0:
-            import jax
-
-            n_parts = max(1, len(jax.devices()))
-        assign = ldg_partition(neighbors, n_parts, passes=self.partition_passes)
         np.save(f"{index_path}.partition.npy", assign)
         logger.info(
             "diskann build: N=%d R=%d M(pq)=%d parts=%d locality=%.2f",
@@ -102,9 +116,25 @@ class DiskannBuilder(LeannBackendBuilderInterface):
         )
         save_ids(index_path, ids)
 
+    @staticmethod
+    def _permute_tokens(index_path: str, order: np.ndarray) -> None:
+        """The token store is written by the core builder in original order;
+        relayout must permute it to match the relabeled graph."""
+        import os
+
+        path = f"{index_path}.tokens.npz"
+        if not os.path.exists(path):
+            return
+        z = np.load(path)
+        np.savez_compressed(path, tokens=z["tokens"][order], lengths=z["lengths"][order])
+
 
 class DiskannSearcher(BaseSearcher, LeannBackendSearcherInterface):
-    def __init__(self, index_path: str, **kwargs):
+    """``sharded=True`` places the (LDG-relabeled, partition-contiguous)
+    graph/codes/tokens over a ``gp`` mesh — block shards coincide with LDG
+    partitions, so expansion is mostly HBM-local."""
+
+    def __init__(self, index_path: str, sharded: "bool | str" = False, **kwargs):
         super().__init__(index_path, **kwargs)
         z = np.load(f"{index_path}.diskann.npz", allow_pickle=False)
         self.neighbors = jnp.asarray(z["neighbors"])
@@ -125,6 +155,29 @@ class DiskannSearcher(BaseSearcher, LeannBackendSearcherInterface):
             self.lengths = jnp.zeros((1,), jnp.int32)
             self.has_tokens = False
         self._enc = None
+        self._sharded = None
+        if sharded is True or (sharded == "auto" and self._n_devices() > 1):
+            from ...parallel.mesh import graph_mesh
+            from ...parallel.sharded_search import ShardedSearcher
+
+            mesh = graph_mesh()
+            tok = self.load_tokens()
+            self._sharded = ShardedSearcher(
+                mesh,
+                np.asarray(z["neighbors"]),
+                entries=self.entries,
+                emb=np.asarray(z["embeddings"]) if "embeddings" in z else None,
+                tokens=tok[0] if tok else None,
+                lengths=tok[1] if tok else None,
+                codes=np.asarray(z["codes"]),
+                codebooks=np.asarray(z["codebooks"]),
+            )
+            logger.info("diskann searcher sharded over %d devices", mesh.devices.size)
+
+    def _n_devices(self) -> int:
+        import jax
+
+        return len(jax.devices())
 
     def _encoder(self):
         if self._enc is None:
@@ -141,6 +194,9 @@ class DiskannSearcher(BaseSearcher, LeannBackendSearcherInterface):
     ) -> Dict[str, np.ndarray]:
         cfg, enc_params = self._make_cfg(top_k, **kwargs)
         q = jnp.asarray(np.ascontiguousarray(query, dtype=np.float32))
+        if self._sharded is not None:
+            labels, dists = self._sharded.search(np.asarray(q), cfg, enc_params)
+            return {"labels": labels, "distances": dists}
         labels, dists, steps = beam_search_batch(q, self._graph_data(), cfg, enc_params)
         return {"labels": np.asarray(labels), "distances": np.asarray(dists)}
 
@@ -149,6 +205,12 @@ class DiskannSearcher(BaseSearcher, LeannBackendSearcherInterface):
         queries = [query] if isinstance(query, str) else list(query)
         cfg, enc_params = self._make_cfg(top_k, need_encoder=True, **kwargs)
         enc = self._encoder()
+        if self._sharded is not None:
+            q = enc.encode(queries)
+            if cfg.normalize:
+                q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+            labels, dists = self._sharded.search(q, cfg, enc_params)
+            return {"labels": labels, "distances": dists}
         q_ids, q_mask = enc.tokenize(queries)
         labels, dists, steps = beam_search_text_batch(
             jnp.asarray(q_ids), jnp.asarray(q_mask), self._graph_data(), cfg, enc_params

@@ -34,3 +34,29 @@ class TestShardedBackendIntegration:
         res = s.search("the largest planet jupiter", top_k=3, complexity=8, beam_width=2)
         assert len(res) == 3
         assert any("jupiter" in r.text or "planet" in r.text for r in res)
+
+
+class TestDiskannShardedRelayout:
+    def test_relayout_and_sharded_search(self, tiny_corpus, tmp_path):
+        """LDG relayout keeps results correct; sharded diskann (PQ traversal +
+        distributed rerank) works through the public API."""
+        import numpy as np
+
+        from leann_tpu import LeannBuilder, LeannSearcher
+
+        idx = str(tmp_path / "dr.leann")
+        b = LeannBuilder(backend_name="diskann", embedding_model="hash-tiny", embedding_mode="tpu",
+                         max_length=32, graph_degree=4, num_partitions=8, partition_passes=3)
+        for text, md in tiny_corpus * 2:
+            b.add_text(text, metadata=md)
+        b.build_index(idx)
+        assign = np.load(idx + ".partition.npy")
+        assert (np.diff(assign) >= 0).all(), "relayout must make partitions contiguous"
+
+        plain = LeannSearcher(idx)
+        r1 = plain.search("jupiter is the largest planet in the solar system", top_k=3, complexity=12)
+        assert any("jupiter" in r.text or "planet" in r.text for r in r1)
+
+        shard = LeannSearcher(idx, sharded=True)
+        r2 = shard.search("jupiter is the largest planet in the solar system", top_k=3, complexity=12)
+        assert any("jupiter" in r.text or "planet" in r.text for r in r2)
