@@ -64,8 +64,26 @@ class HashTokenizer:
 
     def encode_batch(self, texts: Sequence[str], max_length: "int | None" = None) -> Tuple[np.ndarray, np.ndarray]:
         L = max_length or self.max_length
+        # native fast path for ASCII texts (bit-exact; csrc/hash_tokenizer.cpp)
+        ascii_idx = [i for i, t in enumerate(texts) if t.isascii()]
+        if len(ascii_idx) == len(texts) and texts:
+            from ..runtime.fast_tokenizer import encode_batch_ascii
+
+            out = encode_batch_ascii(texts, L, self.vocab_size)
+            if out is not None:
+                return out
         ids = np.empty((len(texts), L), dtype=np.int32)
         mask = np.empty((len(texts), L), dtype=np.int32)
+        if 0 < len(ascii_idx) < len(texts):
+            from ..runtime.fast_tokenizer import encode_batch_ascii
+
+            out = encode_batch_ascii([texts[i] for i in ascii_idx], L, self.vocab_size)
+            if out is not None:
+                ids[ascii_idx], mask[ascii_idx] = out
+                for i, t in enumerate(texts):
+                    if not t.isascii():
+                        ids[i], mask[i] = self.encode(t, L)
+                return ids, mask
         for i, t in enumerate(texts):
             ids[i], mask[i] = self.encode(t, L)
         return ids, mask

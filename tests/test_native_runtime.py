@@ -82,3 +82,57 @@ class TestNativeStore:
         # python fallback returns the same thing
         pm2 = PassageManager(meta["passage_sources"], meta_dir=str(tmp_path), use_native=False)
         assert pm2.get_passage("3") == p
+
+
+class TestNativeTokenizer:
+    def test_bit_exact_with_python(self, rng):
+        from leann_tpu.embeddings.tokenizer import HashTokenizer
+        from leann_tpu.runtime.fast_tokenizer import encode_batch_ascii, native_tokenizer_available
+
+        if not native_tokenizer_available():
+            pytest.skip("native tokenizer could not build")
+        tok = HashTokenizer(vocab_size=32768, max_length=64)
+        texts = [
+            "Hello, TPU world! 123",
+            "don't stop believing",
+            "x" * 500,  # long word
+            "a-b_c.d,e;f:g!h?i(j)k",
+            "  multiple   spaces\tand\nnewlines  ",
+            "UPPER lower MiXeD 42'sixes don''t",
+            "",
+            "'",
+            "1'2",   # digit-apostrophe: regex only joins '[a-z]+
+        ]
+        native = encode_batch_ascii(texts, 64, 32768)
+        assert native is not None
+        n_ids, n_mask = native
+        for i, t in enumerate(texts):
+            p_ids, p_mask = tok.encode(t, 64)
+            np.testing.assert_array_equal(n_ids[i], p_ids, err_msg=f"text={t!r}")
+            np.testing.assert_array_equal(n_mask[i], p_mask, err_msg=f"text={t!r}")
+
+    def test_random_ascii_fuzz(self, rng):
+        import string
+
+        from leann_tpu.embeddings.tokenizer import HashTokenizer
+        from leann_tpu.runtime.fast_tokenizer import encode_batch_ascii, native_tokenizer_available
+
+        if not native_tokenizer_available():
+            pytest.skip("native tokenizer could not build")
+        tok = HashTokenizer(vocab_size=2048, max_length=32)
+        alphabet = string.ascii_letters + string.digits + string.punctuation + "  \t\n"
+        texts = ["".join(rng.choice(list(alphabet), rng.integers(0, 120))) for _ in range(200)]
+        native = encode_batch_ascii(texts, 32, 2048)
+        for i, t in enumerate(texts):
+            p_ids, _ = tok.encode(t, 32)
+            np.testing.assert_array_equal(native[0][i], p_ids, err_msg=f"text={t!r}")
+
+    def test_mixed_batch_routing(self):
+        from leann_tpu.embeddings.tokenizer import HashTokenizer
+
+        tok = HashTokenizer(vocab_size=4096, max_length=16)
+        texts = ["pure ascii text", "中文内容", "more ascii"]
+        ids, mask = tok.encode_batch(texts)
+        for i, t in enumerate(texts):
+            p_ids, p_mask = tok.encode(t, 16)
+            np.testing.assert_array_equal(ids[i], p_ids)
