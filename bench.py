@@ -71,7 +71,6 @@ def main():
     p90 = float(np.percentile(lat, 90))
 
     # batched mode: all queries in one device dispatch (production serving)
-    qe_all = s.backend.compute_query_embedding(queries[0])  # warm encoder
     from leann_tpu.embeddings.encoder import get_encoder as _ge
 
     _enc = _ge("hash-minilm", max_length=128)

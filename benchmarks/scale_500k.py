@@ -9,6 +9,7 @@ exact flat oracle over the same embeddings.
 
 import argparse
 import json
+import logging
 import os
 import tempfile
 import time
@@ -23,20 +24,26 @@ from leann_tpu.ops.distance import flat_search
 
 
 def synth_corpus(n, rng, n_topics=500, words_per_chunk=30):
-    vocab = np.array([f"w{i}" for i in range(20000)])
-    topic_words = rng.integers(0, len(vocab), size=(n_topics, 100))
+    """Topical corpus with realistic tie structure: a wide per-topic
+    vocabulary plus doc-unique words, so exact top-k is meaningful (narrow
+    topic vocabularies make hundreds of chunks near-identical — an anti-ANN
+    workload no real corpus resembles)."""
+    vocab = np.array([f"w{i}" for i in range(50000)])
+    topic_words = rng.integers(0, len(vocab), size=(n_topics, 300))
     chunks = []
     topics = rng.integers(0, n_topics, size=n)
     for i in range(n):
-        tw = vocab[topic_words[topics[i], rng.integers(0, 100, 24)]]
+        tw = vocab[topic_words[topics[i], rng.integers(0, 300, 18)]]
         gw = vocab[rng.integers(0, len(vocab), 6)]
-        words = np.concatenate([tw, gw])
+        uw = np.array([f"doc{i}a", f"doc{i}b", f"doc{i}c", f"doc{i}d", f"doc{i}e", f"doc{i}f"])
+        words = np.concatenate([tw, gw, uw])
         rng.shuffle(words)
         chunks.append(" ".join(words))
     return chunks
 
 
 def main():
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-chunks", type=int, default=500_000)
     ap.add_argument("--max-length", type=int, default=64)

@@ -221,12 +221,18 @@ class LeannBuilder:
         Path(prefix).parent.mkdir(parents=True, exist_ok=True)
 
         texts = [c["text"] for c in chunks]
+        t = time.time()
         embeddings = self._embed(texts)
+        logger.info("build phase embed: %d chunks in %.1fs", len(texts), time.time() - t)
         self.dimensions = int(embeddings.shape[1])
         source = _write_passages(chunks, prefix)
+        t = time.time()
         self._maybe_write_tokens(texts, prefix)
+        logger.info("build phase tokens: %.1fs", time.time() - t)
         ids = [c["id"] for c in chunks]
+        t = time.time()
         self._backend_build(embeddings, ids, prefix)
+        logger.info("build phase backend: %.1fs", time.time() - t)
         self._write_meta(prefix, [source], n=len(chunks))
         logger.info("built index %s (%d chunks) in %.2fs", prefix, len(chunks), time.time() - t0)
 

@@ -77,8 +77,12 @@ class BeamConfig:
 
 
 def _metric_dists(q: jnp.ndarray, e: jnp.ndarray, metric: str) -> jnp.ndarray:
-    """q [D], e [C, D] -> dists [C] (lower = closer)."""
-    dots = jnp.dot(e.astype(jnp.bfloat16), q.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+    """q [D], e [C, D] -> dists [C] (lower = closer).
+
+    f32 on purpose: this matvec is tiny (C·D per hop), and bf16 rounding
+    (~1e-3 relative) flips near-ties — on tie-dense corpora that alone
+    costs tens of recall points against an f32 oracle."""
+    dots = jnp.dot(e.astype(jnp.float32), q.astype(jnp.float32), preferred_element_type=jnp.float32)
     if metric in ("mips", "cosine"):
         return -dots
     return jnp.sum(jnp.square(q)) + jnp.sum(jnp.square(e.astype(jnp.float32)), axis=1) - 2.0 * dots
@@ -205,10 +209,13 @@ def _search_one(q: jnp.ndarray, g: GraphData, cfg: BeamConfig, enc_params):
         cand_ids, cand_dist, cand_flag = _merge_pool(
             cand_ids, cand_dist, cand_flag, new_ids, new_dist, ~is_new, l
         )
-        # 7. convergence: closest unexpanded is farther than the kth result
+        # 7. convergence (efSearch semantics): stop only when the closest
+        # unexpanded candidate is farther than the WORST entry of the full
+        # L-pool — comparing against the kth result instead terminates far
+        # too early and caps recall regardless of complexity
         best_unexp = jnp.min(jnp.where(cand_flag, INF, cand_dist))
-        kth = cand_dist[cfg.k - 1]
-        done = (best_unexp > kth) | (best_unexp >= BIG)
+        worst_pool = cand_dist[l - 1]
+        done = (best_unexp > worst_pool) | (best_unexp >= BIG)
         return cand_ids, cand_dist, cand_flag, visited, step + 1, done
 
     state = (cand_ids, cand_dist, cand_flag, visited, jnp.int32(0), jnp.bool_(False))

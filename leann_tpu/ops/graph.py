@@ -148,14 +148,12 @@ def nn_descent(
         # with weak cluster structure
         rand = rng.integers(0, n, size=(n, max(4, k // 4))).astype(np.int32)
         cand = np.concatenate([nbrs, rev, two, rand], axis=1)
-        cand = np.where(cand == np.arange(n)[:, None], -1, cand)
-        # mask duplicate candidates per row (sorted scan)
-        srt_i = np.argsort(cand, axis=1, kind="stable")
-        srt = np.take_along_axis(cand, srt_i, axis=1)
-        dup_sorted = np.concatenate([np.zeros((n, 1), bool), srt[:, 1:] == srt[:, :-1]], axis=1)
-        dup = np.empty_like(dup_sorted)
-        np.put_along_axis(dup, srt_i, dup_sorted, axis=1)
-        cand = np.where(dup, -1, cand)
+        cand[cand == np.arange(n, dtype=np.int32)[:, None]] = -1
+        # dedup: candidate ORDER is irrelevant to the top-k, so sort values
+        # in place and blank repeats (far cheaper than argsort+scatter at
+        # N x C = hundreds of millions of slots)
+        cand.sort(axis=1)
+        cand[:, 1:][cand[:, 1:] == cand[:, :-1]] = -1
         updated = 0
         new_nbrs = np.empty_like(nbrs)
         new_dists = np.empty_like(dists)
@@ -239,12 +237,17 @@ def build_graph(
     c = min(r * candidate_factor, max(n - 1, 1))
     if keep_closest < 0:
         keep_closest = r // 4
+    import time as _time
+
+    t0 = _time.time()
     if n > EXACT_KNN_MAX_N:
         # O(N²) exact pass stops scaling; NN-descent gets ~the same candidate
         # quality in O(N·C·D·iters)
         knn_ids, _ = nn_descent(emb, c)
     else:
         knn_ids, _ = exact_knn(emb, c, query_block=query_block)
+    logger.info("build_graph knn phase: %.1fs", _time.time() - t0)
+    t0 = _time.time()
     dev_emb = jnp.asarray(emb)
     neighbors = np.empty((n, r), np.int32)
     for s in range(0, n, prune_block):
@@ -253,6 +256,7 @@ def build_graph(
         cemb = dev_emb[jnp.clip(cid, 0, n - 1)] * (cid >= 0)[:, :, None]
         sel = _robust_prune_block(dev_emb[s:e], cid, cemb, r, float(alpha), keep_closest)
         neighbors[s:e] = np.asarray(sel)
+    logger.info("build_graph prune phase: %.1fs", _time.time() - t0)
     out = _fill_reverse_edges(neighbors, np.random.default_rng(0))
     medoid = compute_medoid(emb)
     logger.info("graph built: N=%d R=%d avg_deg=%.1f medoid=%d", n, r, (out >= 0).mean() * r, medoid)

@@ -69,7 +69,8 @@ def _psum_vals(local_vals, owned, axis):
 
 
 def _local_metric_dists(q, e, metric):
-    dots = jnp.dot(e.astype(jnp.bfloat16), q.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+    # f32 like ops/beam_search._metric_dists: bf16 flips near-ties
+    dots = jnp.dot(e.astype(jnp.float32), q.astype(jnp.float32), preferred_element_type=jnp.float32)
     if metric in ("mips", "cosine"):
         return -dots
     return jnp.sum(jnp.square(q)) + jnp.sum(jnp.square(e.astype(jnp.float32)), axis=1) - 2.0 * dots
@@ -198,9 +199,11 @@ def _sharded_search_one(q, g: ShardedGraph, cfg: BeamConfig, enc_params, keep_lo
         cand_ids, cand_dist, cand_flag = _merge_pool(
             cand_ids, cand_dist, cand_flag, new_ids, new_dist, ~is_new, l
         )
+        # efSearch convergence: compare against the worst of the full pool
+        # (see ops/beam_search.py)
         best_unexp = jnp.min(jnp.where(cand_flag, INF, cand_dist))
-        kth = cand_dist[cfg.k - 1]
-        done = (best_unexp > kth) | (best_unexp >= BIG)
+        worst_pool = cand_dist[l - 1]
+        done = (best_unexp > worst_pool) | (best_unexp >= BIG)
         return cand_ids, cand_dist, cand_flag, visited, step + 1, done
 
     state = (cand_ids, cand_dist, cand_flag, visited, jnp.int32(0), jnp.bool_(False))
