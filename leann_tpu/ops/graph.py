@@ -1,17 +1,24 @@
-"""Graph construction: batched exact k-NN + Vamana-style robust pruning.
+"""Graph construction: batched exact k-NN + NN-descent + Vamana-style pruning.
 
 TPU-native replacement for the reference's sequential C++ builders
 (faiss ``IndexHNSWFlat.add`` — hnsw_backend.py:83-89 — and DiskANN's
 ``build_disk_float_index`` — diskann_backend.py:254-268). Sequential
 point-by-point insertion is hostile to the MXU; instead the whole graph is
-built in a few *batched* phases, each a large matmul or a vmapped scan:
+built in a few *batched* phases, each one jitted program:
 
-  1. exact k-NN over corpus tiles (blocked distance matmuls + running top-k)
-  2. α-robust-prune (Vamana/DiskANN style) vmapped over node blocks — keeps a
-     diverse degree-R out-neighborhood, which preserves hub reachability the
-     way the reference's high-degree-preserving CSR conversion does
-     (convert_to_csr.py:487-548)
-  3. reverse-edge augmentation with degree cap (host-side pass)
+  1. candidate k-NN — exact (blocked distance matmuls + running top-k, one
+     scanned dispatch) for small corpora, NN-descent for large ones. The
+     NN-descent round is a SINGLE device program per iteration: reverse-edge
+     sampling (lexicographic sort + segmented rank + scatter), 2-hop gather,
+     random escapes, per-row sort-dedup, and a `lax.scan` over node blocks
+     doing the gather→einsum→top-k join. Only a scalar convergence counter
+     crosses back to the host each round (the axon tunnel charges ~50 ms per
+     dispatch, so per-block host syncs are the enemy).
+  2. α-robust-prune (Vamana/DiskANN style), a `lax.scan` over node blocks —
+     keeps a diverse degree-R out-neighborhood, which preserves hub
+     reachability the way the reference's high-degree-preserving CSR
+     conversion does (convert_to_csr.py:487-548)
+  3. reverse-edge augmentation with degree cap (vectorized host pass)
 
 Graph layout is fixed-degree ``i32[N, R]`` padded with -1 — the TPU-friendly
 equivalent of the reference's CSR (SURVEY.md §7 design delta 2): every gather
@@ -26,6 +33,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import time
 from typing import Tuple
 
 import jax
@@ -38,62 +46,319 @@ INF = jnp.float32(3.4e38)
 EXACT_KNN_MAX_N = 65536  # beyond this, build_graph switches to NN-descent
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _tile_topk(qe: jnp.ndarray, te: jnp.ndarray, tile_off: jnp.ndarray, run_d: jnp.ndarray, run_i: jnp.ndarray, k: int):
-    """Merge one corpus tile into the running top-k. qe [B,D], te [Tn,D]."""
-    dots = jax.lax.dot_general(
-        qe.astype(jnp.bfloat16), te.astype(jnp.bfloat16),
-        dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-    )
-    qn = jnp.sum(jnp.square(qe), axis=1, keepdims=True)
-    tn = jnp.sum(jnp.square(te), axis=1)
-    d = qn + tn[None, :] - 2.0 * dots  # [B, Tn] squared l2
-    ids = tile_off + jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-    all_d = jnp.concatenate([run_d, d], axis=1)
-    all_i = jnp.concatenate([run_i, ids], axis=1)
-    neg_top, pos = jax.lax.top_k(-all_d, k)
-    return -neg_top, jnp.take_along_axis(all_i, pos, axis=1)
+def _pad_rows(x: np.ndarray, np_total: int, fill=0) -> np.ndarray:
+    if x.shape[0] == np_total:
+        return x
+    pad = np.full((np_total - x.shape[0],) + x.shape[1:], fill, x.dtype)
+    return np.concatenate([x, pad])
+
+
+def _bucket_rows(n: int, block: int) -> int:
+    """Smallest block-multiple of {1, 1.25, 1.5, 1.75} x 2^i >= n. Bounds the
+    number of distinct compiled programs across corpus sizes (axon compiles
+    the big scan programs in minutes; padded compute is ~1% per extra row
+    block) while wasting at most 25% padded rows."""
+    if n <= block:
+        return block
+    v = block
+    while v < n:
+        for frac in (1.0, 1.25, 1.5, 1.75):
+            cand = int(v * frac)
+            cand = ((cand + block - 1) // block) * block
+            if cand >= n:
+                return cand
+        v *= 2
+    return v
+
+
+# ---------------------------------------------------------------------------
+# Exact k-NN (small corpora): one dispatch, scan over query blocks x tiles
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k", "qb", "tile"))
+def _exact_knn_device(emb: jnp.ndarray, n_real: jnp.ndarray, k: int, qb: int, tile: int):
+    np_total, d = emb.shape
+    ebf = emb.astype(jnp.bfloat16)
+    norms = jnp.sum(jnp.square(emb), axis=1)  # f32 [Np]
+    n_tiles = np_total // tile
+
+    def q_block(carry, qi):
+        qs = qi * qb
+        qe = jax.lax.dynamic_slice(ebf, (qs, 0), (qb, d))
+        qn = jax.lax.dynamic_slice(norms, (qs,), (qb,))
+        q_ids = qs + jnp.arange(qb, dtype=jnp.int32)
+
+        def t_body(tc, ti):
+            run_d, run_i = tc
+            ts = ti * tile
+            te = jax.lax.dynamic_slice(ebf, (ts, 0), (tile, d))
+            tn = jax.lax.dynamic_slice(norms, (ts,), (tile,))
+            dots = jax.lax.dot_general(
+                qe, te, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dmat = qn[:, None] + tn[None, :] - 2.0 * dots  # [qb, tile] squared l2
+            ids = ts + jax.lax.broadcasted_iota(jnp.int32, dmat.shape, 1)
+            bad = (ids >= n_real) | (ids == q_ids[:, None])  # pad + self
+            dmat = jnp.where(bad, INF, dmat)
+            all_d = jnp.concatenate([run_d, dmat], axis=1)
+            all_i = jnp.concatenate([run_i, ids], axis=1)
+            neg, pos = jax.lax.top_k(-all_d, k)
+            return (-neg, jnp.take_along_axis(all_i, pos, axis=1)), None
+
+        init = (jnp.full((qb, k), INF), jnp.full((qb, k), -1, jnp.int32))
+        (rd, ri), _ = jax.lax.scan(t_body, init, jnp.arange(n_tiles))
+        ri = jnp.where(rd < INF, ri, -1)
+        return carry, (ri, rd)
+
+    _, (ids, dists) = jax.lax.scan(q_block, None, jnp.arange(np_total // qb))
+    return ids.reshape(np_total, k), dists.reshape(np_total, k)
 
 
 def exact_knn(
     emb: np.ndarray, k: int, query_block: int = 1024, tile: int = 131072
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact k-NN (squared L2) of every row against the corpus, self excluded.
-    -> (ids i32[N, k], dists f32[N, k]). Blocked so HBM holds only
-    [query_block, tile] distance panels."""
+    -> (ids i32[N, k], dists f32[N, k]). One device dispatch: blocked so HBM
+    holds only [query_block, tile] distance panels."""
+    n, _ = emb.shape
+    qb = max(8, min(query_block, 1024))
+    tile = max(qb, (min(tile, ((n + qb - 1) // qb) * qb) // qb) * qb)
+    np_total = _bucket_rows(n, tile)
+    ids, dists = _exact_knn_device(
+        jnp.asarray(_pad_rows(emb, np_total)), jnp.int32(n), k, qb, tile
+    )
+    return np.asarray(ids)[:n], np.asarray(dists)[:n]
+
+
+# ---------------------------------------------------------------------------
+# NN-descent (large corpora): one device program per iteration
+# ---------------------------------------------------------------------------
+
+
+def _reverse_edges_device(nbrs: jnp.ndarray, key: jnp.ndarray, cap: int) -> jnp.ndarray:
+    """Sampled reverse edges on device: up to ``cap`` in-edges per node.
+
+    Each edge (i→j) throws its source at a random slot of row j; colliding
+    writes lose (last-write-wins scatter). For a node with m in-edges the
+    expected distinct count is cap·(1−(1−1/cap)^m) ≈ 0.63·cap at m=cap —
+    plenty for NN-descent, which only needs a stochastic *sample* of the
+    in-neighborhood each round. Chosen over the exact sort+segmented-rank
+    formulation because XLA's large 1-D sort is catastrophically slow to
+    compile on this platform (41 s at N=10K, >10 min at 50K), while a single
+    scatter compiles flat."""
+    np_total, k = nbrs.shape
+    src = jax.lax.broadcasted_iota(jnp.int32, (np_total, k), 0).ravel()
+    dst = nbrs.ravel()
+    slot = jax.random.randint(key, dst.shape, 0, cap, dtype=jnp.int32)
+    dst_safe = jnp.where(dst >= 0, dst, jnp.int32(np_total))  # OOB → dropped
+    out = jnp.full((np_total, cap), -1, jnp.int32)
+    return out.at[dst_safe, slot].set(src, mode="drop")
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "k2", "h", "n_rand", "block")
+)
+def _nn_descent_iter(
+    ebf: jnp.ndarray,       # bf16 [Np, D]
+    norms: jnp.ndarray,     # f32 [Np]
+    nbrs: jnp.ndarray,      # i32 [Np, k], -1 pads
+    old_dists: jnp.ndarray, # f32 [Np, k] sorted ascending (INF on first round)
+    n_real: jnp.ndarray,    # scalar i32
+    key: jnp.ndarray,
+    k: int,
+    k2: int,
+    h: int,
+    n_rand: int,
+    block: int,
+):
+    """One NN-descent round as one device program.
+
+    Everything proportional to N runs inside the fixed-shape `lax.scan` body
+    (candidate assembly, dedup row-sort, gather→einsum→top-k join), so the
+    compiled program is independent of corpus size: on this platform compile
+    time scales brutally with the size of *global* ops (a full-corpus 1-D
+    sort took 41 s to compile at N=10K and >10 min at 50K), while scan
+    bodies compile once."""
+    np_total, d = ebf.shape
+    k_rev, k_hop1, k_hop2, k_rand = jax.random.split(key, 4)
+
+    rev = _reverse_edges_device(nbrs, k_rev, cap=k)
+
+    # 2-hop: h sampled neighbor columns (of both nbrs and rev) seed a gather
+    # of each seed's k2 *closest* neighbors (rows are distance-sorted)
+    cols1 = jax.random.permutation(k_hop1, k)[:h]
+    cols2 = jax.random.permutation(k_hop2, k)[:h]
+
+    def blk(carry, bi):
+        s = bi * block
+        nb = jax.lax.dynamic_slice(nbrs, (s, 0), (block, k))
+        rv = jax.lax.dynamic_slice(rev, (s, 0), (block, k))
+        od = jax.lax.dynamic_slice(old_dists, (s, 0), (block, k))
+        pe = jax.lax.dynamic_slice(ebf, (s, 0), (block, d))
+        pn = jax.lax.dynamic_slice(norms, (s,), (block,))
+        hop_seed = jnp.concatenate(
+            [jnp.take(nb, cols1, axis=1), jnp.take(rv, cols2, axis=1)], axis=1
+        )  # [B, 2h]
+        two = nbrs[jnp.clip(hop_seed, 0, np_total - 1), :k2].reshape(block, 2 * h * k2)
+        two = jnp.where(jnp.repeat(hop_seed < 0, k2, axis=1), -1, two)
+        # random escapes for corpora with weak cluster structure
+        rand = jax.random.randint(
+            jax.random.fold_in(k_rand, bi), (block, n_rand), 0,
+            jnp.maximum(n_real, 1), dtype=jnp.int32,
+        )
+        cand = jnp.concatenate([nb, rv, two, rand], axis=1)  # [B, C]
+        row_ids = s + jax.lax.broadcasted_iota(jnp.int32, cand.shape, 0)
+        # pad rows (>= n_real, zero embeddings) must never become candidates:
+        # their zero vectors look closer than real neighbors and crowd them out
+        cand = jnp.where((cand == row_ids) | (cand >= n_real), -1, cand)
+        # dedup: candidate order is irrelevant to top-k — sort rows, blank
+        # repeats (duplicates would waste top-k slots and corrupt the output)
+        cand = jnp.sort(cand, axis=1)
+        dup = jnp.concatenate(
+            [jnp.zeros((block, 1), bool), cand[:, 1:] == cand[:, :-1]], axis=1
+        )
+        cid = jnp.where(dup, -1, cand)
+
+        cemb = ebf[jnp.clip(cid, 0, np_total - 1)]  # [B, C, D]
+        dots = jnp.einsum("bd,bcd->bc", pe, cemb, preferred_element_type=jnp.float32)
+        dist = pn[:, None] + norms[jnp.clip(cid, 0, np_total - 1)] - 2.0 * dots
+        dist = jnp.where(cid >= 0, dist, INF)
+        neg, pos = jax.lax.top_k(-dist, k)
+        ids_b = jnp.take_along_axis(cid, pos, axis=1)
+        ids_b = jnp.where(-neg < INF, ids_b, -1)
+        # pad rows stay neighborless so they never emit reverse edges
+        real = (row_ids[:, :1] < n_real)
+        ids_b = jnp.where(real, ids_b, -1)
+        # progress: slots whose (sorted) distance strictly improved. top_k
+        # returns sorted rows, so this is sort-free — equal-quality swaps
+        # don't count, which is exactly the convergence signal we want.
+        chg = jnp.sum((-neg < od * (1.0 - 1e-6)) & real)
+        return carry + chg, (ids_b, -neg)
+
+    changed, (ids, dists) = jax.lax.scan(
+        blk, jnp.int32(0), jnp.arange(np_total // block)
+    )
+    return ids.reshape(np_total, k), dists.reshape(np_total, k), changed
+
+
+def nn_descent(
+    emb: np.ndarray,
+    k: int,
+    n_iters: int = 6,
+    block: int = 2048,
+    seed: int = 0,
+    min_update_frac: float = 0.001,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Approximate k-NN graph by NN-descent — O(N·C·D) per iteration instead
+    of the exact O(N²·D), with every distance batch an MXU einsum and every
+    iteration ONE device dispatch (+1 scalar readback for convergence).
+    Candidates per round: current neighbors + sampled reverse edges + sampled
+    closest-first 2-hop + random escapes.
+    -> (ids i32[N, k], dists f32[N, k])."""
     n, d = emb.shape
-    dev_emb = jnp.asarray(emb)
-    ids_out = np.empty((n, k), np.int32)
-    dist_out = np.empty((n, k), np.float32)
-    kk = k + 1  # room to drop self
-    for qs in range(0, n, query_block):
-        qe = dev_emb[qs : qs + min(query_block, n - qs)]
-        run_d = jnp.full((qe.shape[0], kk), INF)
-        run_i = jnp.full((qe.shape[0], kk), -1, jnp.int32)
-        for ts in range(0, n, tile):
-            te = dev_emb[ts : ts + min(tile, n - ts)]
-            run_d, run_i = _tile_topk(qe, te, jnp.int32(ts), run_d, run_i, kk)
-        rd, ri = np.asarray(run_d), np.asarray(run_i)
-        # drop self-match (guaranteed to be present with dist ~0)
-        rows = np.arange(qe.shape[0])[:, None]
-        self_mask = ri == (np.arange(qs, qs + qe.shape[0])[:, None])
-        # push self to the end, keep first k
-        order = np.argsort(self_mask, axis=1, kind="stable")
-        ri = ri[rows, order][:, :k]
-        rd = rd[rows, order][:, :k]
-        ids_out[qs : qs + qe.shape[0]] = ri
-        dist_out[qs : qs + qe.shape[0]] = rd
-    return ids_out, dist_out
+    h = min(k, max(2, 256 // max(k, 1)))   # 2-hop seed columns
+    k2 = min(k, 32)                         # neighbors gathered per seed
+    n_rand = max(4, k // 4)
+    # cap the block so the [block, C, D] bf16 gather stays ~256 MB
+    c_est = 2 * k + 2 * h * k2 + n_rand
+    mem_cap = max(64, int((256 << 20) / max(c_est * d * 2, 1)))
+    block = max(8, (min(block, mem_cap) // 8) * 8)  # sublane-aligned
+    np_total = _bucket_rows(n, block)
+
+    rng = np.random.default_rng(seed)
+    nbrs0 = rng.integers(0, n - 1, size=(n, k)).astype(np.int32)
+    nbrs0 = np.where(nbrs0 >= np.arange(n)[:, None], nbrs0 + 1, nbrs0)  # no self
+    nbrs = jnp.asarray(_pad_rows(nbrs0, np_total, fill=-1))
+    emb_p = jnp.asarray(_pad_rows(emb, np_total))
+    ebf = emb_p.astype(jnp.bfloat16)
+    norms = jnp.sum(jnp.square(emb_p), axis=1)
+    dists = jnp.full((np_total, k), INF)
+    base_key = jax.random.key(seed)
+    for it in range(n_iters):
+        t0 = time.time()
+        nbrs, dists, changed = _nn_descent_iter(
+            ebf, norms, nbrs, dists, jnp.int32(n),
+            jax.random.fold_in(base_key, it),
+            k=k, k2=k2, h=h, n_rand=n_rand, block=block,
+        )
+        changed = int(np.asarray(changed))  # the only host sync per round
+        logger.info(
+            "nn_descent iter %d: %.3f%% slots improved (%.2fs)",
+            it, 100 * changed / (n * k), time.time() - t0,
+        )
+        if changed < min_update_frac * n * k:
+            break
+    return np.asarray(nbrs)[:n], np.asarray(dists)[:n]
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _block_cand_topk(pe: jnp.ndarray, cand_ids: jnp.ndarray, cand_emb: jnp.ndarray, k: int):
-    """pe [B, D], cand_ids [B, C] (-1/dup slots masked), cand_emb [B, C, D]
-    -> (ids [B, k], dists [B, k]) closest candidates per row (squared l2)."""
-    d = jnp.sum(jnp.square(cand_emb - pe[:, None, :]), axis=-1)
-    d = jnp.where(cand_ids >= 0, d, INF)
-    neg, pos = jax.lax.top_k(-d, k)
-    return jnp.take_along_axis(cand_ids, pos, axis=1), -neg
+# ---------------------------------------------------------------------------
+# Vamana robust prune: one dispatch, scan over node blocks
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("r", "alpha", "keep_closest", "block"))
+def _robust_prune_device(
+    ebf: jnp.ndarray,      # bf16 [Np, D]
+    norms: jnp.ndarray,    # f32 [Np]
+    cand: jnp.ndarray,     # i32 [Np, C] (-1 = invalid)
+    r: int,
+    alpha: float,
+    keep_closest: int,
+    block: int,
+):
+    """Vamana robust prune -> selected ids i32[Np, R].
+
+    The first ``keep_closest`` picks skip the occlusion rule: tightly clustered
+    corpora (near-duplicate chunks) otherwise lose their nearest neighbors to
+    diversity pruning, which measurably hurts top-k recall — keeping the
+    closest quarter restores it while α-pruning still supplies long-range
+    edges (the reference's high-degree/hub-preservation concern,
+    convert_to_csr.py:487-548, solved TPU-style)."""
+    np_total, d = ebf.shape
+    c = cand.shape[1]
+
+    def blk(carry, bi):
+        s = bi * block
+        cid = jax.lax.dynamic_slice(cand, (s, 0), (block, c))
+        pe = jax.lax.dynamic_slice(ebf, (s, 0), (block, d))
+        pn = jax.lax.dynamic_slice(norms, (s,), (block,))
+        safe = jnp.clip(cid, 0, np_total - 1)
+        cemb = ebf[safe]  # [B, C, D]
+        cn = norms[safe]
+        dots = jnp.einsum("bd,bcd->bc", pe, cemb, preferred_element_type=jnp.float32)
+        d_pc = pn[:, None] + cn - 2.0 * dots
+        d_pc = jnp.where(cid >= 0, d_pc, INF)
+        cc_dots = jnp.einsum(
+            "bcd,bed->bce", cemb, cemb, preferred_element_type=jnp.float32
+        )
+        d_cc = cn[:, :, None] + cn[:, None, :] - 2.0 * cc_dots  # [B, C, C]
+
+        def step(sc, t):
+            alive, dpc = sc
+            j = jnp.argmin(jnp.where(alive, dpc, INF), axis=1)  # [B]
+            ok = jnp.take_along_axis(alive, j[:, None], axis=1)[:, 0] & (
+                jnp.take_along_axis(dpc, j[:, None], axis=1)[:, 0] < INF
+            )
+            sel = jnp.where(ok, jnp.take_along_axis(cid, j[:, None], axis=1)[:, 0], -1)
+            # occlusion: drop x with alpha * d(c, x) <= d(p, x)
+            d_jx = jnp.take_along_axis(d_cc, j[:, None, None], axis=1)[:, 0, :]
+            occl = alpha * d_jx <= dpc
+            alive = jnp.where(t >= keep_closest, alive & ~occl, alive)
+            alive = alive.at[jnp.arange(block), j].set(False)
+            return (alive, dpc), sel
+
+        (_, _), sels = jax.lax.scan(step, (cid >= 0, d_pc), jnp.arange(r))
+        return carry, sels.T  # [B, R]
+
+    _, out = jax.lax.scan(blk, None, jnp.arange(np_total // block))
+    return out.reshape(np_total, r)
+
+
+# ---------------------------------------------------------------------------
+# Host passes: reverse-edge fill (post-prune) and medoid
+# ---------------------------------------------------------------------------
 
 
 def _reverse_sample(nbrs: np.ndarray, cap: int, rng: np.random.Generator) -> np.ndarray:
@@ -116,151 +381,6 @@ def _reverse_sample(nbrs: np.ndarray, cap: int, rng: np.random.Generator) -> np.
     sel = rank < cap
     out[dst_s[sel], rank[sel]] = src_s[sel]
     return out
-
-
-def nn_descent(
-    emb: np.ndarray,
-    k: int,
-    n_iters: int = 6,
-    block: int = 2048,
-    seed: int = 0,
-    min_update_frac: float = 0.001,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Approximate k-NN graph by NN-descent — O(N·C·D) per iteration instead
-    of the exact O(N²·D), with every distance batch an MXU einsum. Candidates
-    per round: current neighbors + sampled reverse edges + sampled 2-hop.
-    -> (ids i32[N, k], dists f32[N, k])."""
-    n, d = emb.shape
-    rng = np.random.default_rng(seed)
-    dev = jnp.asarray(emb)
-    nbrs = rng.integers(0, n - 1, size=(n, k)).astype(np.int32)
-    nbrs = np.where(nbrs >= np.arange(n)[:, None], nbrs + 1, nbrs)  # avoid self
-    dists = np.full((n, k), np.float32(3.4e38))
-    # 2-hop width: full local join for small k, sampled columns for large k
-    hop_cols = min(k, max(2, 256 // max(k, 1)))
-    for it in range(n_iters):
-        rev = _reverse_sample(nbrs, k, rng)
-        cols = rng.choice(k, size=hop_cols, replace=False)
-        hop_seed = np.concatenate([nbrs[:, cols], rev[:, cols]], axis=1)  # [n, 2h]
-        two = nbrs[np.clip(hop_seed, 0, n - 1)].reshape(n, 2 * hop_cols * k)
-        two = np.where((hop_seed < 0).repeat(k, axis=1), -1, two)
-        # a few random candidates per round escape local minima on corpora
-        # with weak cluster structure
-        rand = rng.integers(0, n, size=(n, max(4, k // 4))).astype(np.int32)
-        cand = np.concatenate([nbrs, rev, two, rand], axis=1)
-        cand[cand == np.arange(n, dtype=np.int32)[:, None]] = -1
-        # dedup: candidate ORDER is irrelevant to the top-k, so sort values
-        # in place and blank repeats (far cheaper than argsort+scatter at
-        # N x C = hundreds of millions of slots)
-        cand.sort(axis=1)
-        cand[:, 1:][cand[:, 1:] == cand[:, :-1]] = -1
-        updated = 0
-        new_nbrs = np.empty_like(nbrs)
-        new_dists = np.empty_like(dists)
-        for s in range(0, n, block):
-            e = min(s + block, n)
-            cid = jnp.asarray(cand[s:e])
-            cemb = dev[jnp.clip(cid, 0, n - 1)]
-            ids_b, d_b = _block_cand_topk(dev[s:e], cid, cemb, k)
-            new_nbrs[s:e] = np.asarray(ids_b)
-            new_dists[s:e] = np.asarray(d_b)
-        # membership change, not slot order (top_k reorders equal-quality
-        # neighbors freely — slotwise comparison never converges)
-        updated = int((np.sort(new_nbrs, axis=1) != np.sort(nbrs, axis=1)).sum())
-        nbrs, dists = new_nbrs, new_dists
-        logger.info("nn_descent iter %d: %.3f%% membership changed", it, 100 * updated / (n * k))
-        if updated < min_update_frac * n * k:
-            break
-    return nbrs, dists
-
-
-@functools.partial(jax.jit, static_argnames=("r", "alpha", "keep_closest"))
-def _robust_prune_block(
-    p_emb: jnp.ndarray,  # [B, D] node embeddings
-    cand_ids: jnp.ndarray,  # [B, C] candidate ids (-1 = invalid)
-    cand_emb: jnp.ndarray,  # [B, C, D]
-    r: int,
-    alpha: float,
-    keep_closest: int = 0,
-):
-    """Vamana robust prune, batched over B nodes -> selected ids i32[B, R].
-
-    The first ``keep_closest`` picks skip the occlusion rule: tightly clustered
-    corpora (near-duplicate chunks) otherwise lose their nearest neighbors to
-    diversity pruning, which measurably hurts top-k recall — keeping the
-    closest quarter restores it while α-pruning still supplies long-range
-    edges (the reference's high-degree/hub-preservation concern,
-    convert_to_csr.py:487-548, solved TPU-style)."""
-    B, C, D = cand_emb.shape
-    d_pc = jnp.sum(jnp.square(cand_emb - p_emb[:, None, :]), axis=-1)  # [B, C]
-    d_pc = jnp.where(cand_ids >= 0, d_pc, INF)
-    # pairwise candidate-candidate distances
-    cc_dots = jnp.einsum("bcd,bed->bce", cand_emb, cand_emb, preferred_element_type=jnp.float32)
-    nrm = jnp.sum(jnp.square(cand_emb), axis=-1)
-    d_cc = nrm[:, :, None] + nrm[:, None, :] - 2.0 * cc_dots  # [B, C, C]
-
-    def step(carry, t):
-        alive, dpc = carry
-        j = jnp.argmin(jnp.where(alive, dpc, INF), axis=1)  # [B]
-        ok = jnp.take_along_axis(alive, j[:, None], axis=1)[:, 0] & (
-            jnp.take_along_axis(dpc, j[:, None], axis=1)[:, 0] < INF
-        )
-        sel = jnp.where(ok, jnp.take_along_axis(cand_ids, j[:, None], axis=1)[:, 0], -1)
-        # occlusion: drop x with alpha * d(c, x) <= d(p, x)
-        d_jx = jnp.take_along_axis(d_cc, j[:, None, None], axis=1)[:, 0, :]  # [B, C]
-        occl = alpha * d_jx <= dpc
-        alive = jnp.where(t >= keep_closest, alive & ~occl, alive)
-        alive = alive.at[jnp.arange(B), j].set(False)
-        return (alive, dpc), sel
-
-    alive0 = cand_ids >= 0
-    (_, _), sels = jax.lax.scan(step, (alive0, d_pc), jnp.arange(r))
-    return sels.T  # [B, R]
-
-
-def build_graph(
-    emb: np.ndarray,
-    r: int = 32,
-    candidate_factor: int = 2,
-    alpha: float = 1.2,
-    keep_closest: int = -1,  # -1 = auto (r // 4)
-    query_block: int = 1024,
-    prune_block: int = 512,
-) -> Tuple[np.ndarray, int]:
-    """Build a fixed-degree navigable graph. -> (neighbors i32[N, R], medoid).
-
-    knn(C=r*candidate_factor) → α-prune to ≤R (keeping the closest
-    ``keep_closest`` unconditionally) → reverse-edge fill to R.
-    """
-    n, d = emb.shape
-    r = min(r, max(n - 1, 1))
-    c = min(r * candidate_factor, max(n - 1, 1))
-    if keep_closest < 0:
-        keep_closest = r // 4
-    import time as _time
-
-    t0 = _time.time()
-    if n > EXACT_KNN_MAX_N:
-        # O(N²) exact pass stops scaling; NN-descent gets ~the same candidate
-        # quality in O(N·C·D·iters)
-        knn_ids, _ = nn_descent(emb, c)
-    else:
-        knn_ids, _ = exact_knn(emb, c, query_block=query_block)
-    logger.info("build_graph knn phase: %.1fs", _time.time() - t0)
-    t0 = _time.time()
-    dev_emb = jnp.asarray(emb)
-    neighbors = np.empty((n, r), np.int32)
-    for s in range(0, n, prune_block):
-        e = min(s + prune_block, n)
-        cid = jnp.asarray(knn_ids[s:e])
-        cemb = dev_emb[jnp.clip(cid, 0, n - 1)] * (cid >= 0)[:, :, None]
-        sel = _robust_prune_block(dev_emb[s:e], cid, cemb, r, float(alpha), keep_closest)
-        neighbors[s:e] = np.asarray(sel)
-    logger.info("build_graph prune phase: %.1fs", _time.time() - t0)
-    out = _fill_reverse_edges(neighbors, np.random.default_rng(0))
-    medoid = compute_medoid(emb)
-    logger.info("graph built: N=%d R=%d avg_deg=%.1f medoid=%d", n, r, (out >= 0).mean() * r, medoid)
-    return out, medoid
 
 
 def _fill_reverse_edges(neighbors: np.ndarray, rng: np.random.Generator) -> np.ndarray:
@@ -288,3 +408,57 @@ def compute_medoid(emb: np.ndarray) -> int:
     mean = jnp.mean(jnp.asarray(emb), axis=0, keepdims=True)
     d = jnp.sum(jnp.square(jnp.asarray(emb) - mean), axis=1)
     return int(jnp.argmin(d))
+
+
+# ---------------------------------------------------------------------------
+# Top-level build
+# ---------------------------------------------------------------------------
+
+
+def build_graph(
+    emb: np.ndarray,
+    r: int = 32,
+    candidate_factor: int = 2,
+    alpha: float = 1.2,
+    keep_closest: int = -1,  # -1 = auto (r // 4)
+    query_block: int = 1024,
+    prune_block: int = 512,
+) -> Tuple[np.ndarray, int]:
+    """Build a fixed-degree navigable graph. -> (neighbors i32[N, R], medoid).
+
+    knn(C=r*candidate_factor) → α-prune to ≤R (keeping the closest
+    ``keep_closest`` unconditionally) → reverse-edge fill to R.
+    """
+    n, d = emb.shape
+    r = min(r, max(n - 1, 1))
+    c = min(r * candidate_factor, max(n - 1, 1))
+    if keep_closest < 0:
+        keep_closest = r // 4
+
+    t0 = time.time()
+    if n > EXACT_KNN_MAX_N:
+        # O(N²) exact pass stops scaling; NN-descent gets ~the same candidate
+        # quality in O(N·C·D·iters)
+        knn_ids, _ = nn_descent(emb, c)
+    else:
+        knn_ids, _ = exact_knn(emb, c, query_block=query_block)
+    logger.info("build_graph knn phase: %.1fs", time.time() - t0)
+
+    t0 = time.time()
+    # keep the [block, C, C] occlusion tensor bounded
+    blk = max(8, (min(prune_block, int((256 << 20) / max(c * c * 4, 1))) // 8) * 8)
+    np_total = _bucket_rows(n, blk)
+    emb_p = jnp.asarray(_pad_rows(emb, np_total))
+    sel = _robust_prune_device(
+        emb_p.astype(jnp.bfloat16),
+        jnp.sum(jnp.square(emb_p), axis=1),
+        jnp.asarray(_pad_rows(knn_ids, np_total, fill=-1)),
+        r, float(alpha), keep_closest, blk,
+    )
+    neighbors = np.asarray(sel)[:n]
+    logger.info("build_graph prune phase: %.1fs", time.time() - t0)
+
+    out = _fill_reverse_edges(neighbors, np.random.default_rng(0))
+    medoid = compute_medoid(emb)
+    logger.info("graph built: N=%d R=%d avg_deg=%.1f medoid=%d", n, r, (out >= 0).mean() * r, medoid)
+    return out, medoid
