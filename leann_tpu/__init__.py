@@ -43,6 +43,7 @@ from .registry import (  # noqa: F401
     get_registered_backends,
     register_backend,
 )
+from .runtime.batcher import BatchedSearcher  # noqa: F401
 
 __all__ = [
     "LeannBuilder",
@@ -50,6 +51,7 @@ __all__ = [
     "LeannChat",
     "PassageManager",
     "SearchResult",
+    "BatchedSearcher",
     "register_backend",
     "autodiscover_backends",
     "get_registered_backends",

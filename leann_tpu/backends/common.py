@@ -24,6 +24,31 @@ def round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def bucket_batch(n: int) -> int:
+    """Round a query-batch size up to a power of two. Every distinct batch
+    size compiles a separate fused search program (minutes each through the
+    axon tunnel), so callers pad the batch and slice the outputs; the padded
+    rows just repeat real queries."""
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
+def pad_batch_rows(*arrays: np.ndarray) -> "tuple[int, list]":
+    """Pad [B, ...] arrays to a pow2 batch by repeating row 0.
+    -> (real_b, [padded arrays])."""
+    real_b = arrays[0].shape[0]
+    b = bucket_batch(real_b)
+    if b == real_b:
+        return real_b, list(arrays)
+    out = []
+    for a in arrays:
+        reps = np.repeat(a[:1], b - real_b, axis=0)
+        out.append(np.concatenate([a, reps], axis=0))
+    return real_b, out
+
+
 class BaseSearcher:
     """Loads common index state: meta, id list, optional token store."""
 

@@ -37,7 +37,7 @@ from ...ops.beam_search import BeamConfig, GraphData, beam_search_batch, beam_se
 from ...ops.graph import build_graph
 from ...ops.pq import choose_m, encode_pq_blocked, train_pq
 from ...registry import register_backend
-from ..common import BaseSearcher, save_ids
+from ..common import BaseSearcher, pad_batch_rows, save_ids
 from ..hnsw.backend import _entry_pool
 from .partition import edge_locality, ldg_partition
 
@@ -197,8 +197,9 @@ class DiskannSearcher(BaseSearcher, LeannBackendSearcherInterface):
         if self._sharded is not None:
             labels, dists = self._sharded.search(np.asarray(q), cfg, enc_params)
             return {"labels": labels, "distances": dists}
-        labels, dists, steps = beam_search_batch(q, self._graph_data(), cfg, enc_params)
-        return {"labels": np.asarray(labels), "distances": np.asarray(dists)}
+        real_b, (qp,) = pad_batch_rows(np.asarray(q, dtype=np.float32))
+        labels, dists, steps = beam_search_batch(jnp.asarray(qp), self._graph_data(), cfg, enc_params)
+        return {"labels": np.asarray(labels)[:real_b], "distances": np.asarray(dists)[:real_b]}
 
     def search_text(self, query: "str | list", top_k: int, **kwargs) -> Dict[str, np.ndarray]:
         """Fused single-dispatch path (see hnsw.search_text); accepts a batch."""
@@ -212,10 +213,11 @@ class DiskannSearcher(BaseSearcher, LeannBackendSearcherInterface):
             labels, dists = self._sharded.search(q, cfg, enc_params)
             return {"labels": labels, "distances": dists}
         q_ids, q_mask = enc.tokenize(queries)
+        real_b, (q_ids, q_mask) = pad_batch_rows(q_ids, q_mask)
         labels, dists, steps = beam_search_text_batch(
             jnp.asarray(q_ids), jnp.asarray(q_mask), self._graph_data(), cfg, enc_params
         )
-        return {"labels": np.asarray(labels), "distances": np.asarray(dists)}
+        return {"labels": np.asarray(labels)[:real_b], "distances": np.asarray(dists)[:real_b]}
 
     def _make_cfg(
         self,

@@ -25,7 +25,7 @@ from ..interface import (
 )
 from ..ops.distance import flat_search
 from ..registry import register_backend
-from .common import BaseSearcher, round_up, save_ids
+from .common import BaseSearcher, pad_batch_rows, round_up, save_ids
 
 logger = logging.getLogger(__name__)
 
@@ -41,7 +41,7 @@ class FlatBuilder(LeannBackendBuilderInterface):
 
 
 PALLAS_MIN_N = 16384  # below this the XLA path is trivially fast anyway
-PALLAS_TILE = 2048
+PALLAS_TILE = 4096  # swept on v5e: 340 GB/s vs 212 at tile=512; 8192+ overflows VMEM
 
 
 class FlatSearcher(BaseSearcher, LeannBackendSearcherInterface):
@@ -69,7 +69,9 @@ class FlatSearcher(BaseSearcher, LeannBackendSearcherInterface):
         self._valid_n = jnp.int32(self.n)
 
     def search(self, query: np.ndarray, top_k: int, **kwargs) -> Dict[str, np.ndarray]:
-        q = jnp.asarray(np.ascontiguousarray(query, dtype=np.float32))
+        qn = np.ascontiguousarray(query, dtype=np.float32)
+        real_b, (qn,) = pad_batch_rows(qn)  # pow2 batch -> bounded compiles
+        q = jnp.asarray(qn)
         k = min(top_k, self.n)
         if self._use_pallas:
             from ..ops.pallas_topk import pallas_flat_search
@@ -79,7 +81,7 @@ class FlatSearcher(BaseSearcher, LeannBackendSearcherInterface):
             )
         else:
             labels, dists = flat_search(self._emb, q, self._valid_n, k, self.metric)
-        return {"labels": np.asarray(labels), "distances": np.asarray(dists)}
+        return {"labels": np.asarray(labels)[:real_b], "distances": np.asarray(dists)[:real_b]}
 
 
 @register_backend("flat")

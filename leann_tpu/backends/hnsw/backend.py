@@ -40,7 +40,7 @@ from ...ops.beam_search import BeamConfig, GraphData, beam_search_batch, beam_se
 from ...ops.graph import build_graph
 from ...ops.pq import choose_m, encode_pq_blocked, train_pq
 from ...registry import register_backend
-from ..common import BaseSearcher, save_ids
+from ..common import BaseSearcher, pad_batch_rows, save_ids
 
 logger = logging.getLogger(__name__)
 
@@ -219,10 +219,10 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
             enc_params, enc_cfg = enc.params, enc.cfg
 
         traversal = "recompute" if recompute_embeddings else "stored"
+        if pruning_strategy not in ("global", "local", "proportional"):
+            raise ValueError(f"unknown pruning_strategy {pruning_strategy!r}")
         prune_keep = 0
         if recompute_embeddings and prune_ratio > 0 and self.has_pq:
-            if pruning_strategy not in ("global", "local", "proportional"):
-                raise ValueError(f"unknown pruning_strategy {pruning_strategy!r}")
             if pruning_strategy != "global":
                 logger.info("pruning_strategy %r approximated by 'global' on TPU", pruning_strategy)
             prune_keep = max(1, min(f, math.ceil(f * (1.0 - prune_ratio))))
@@ -269,8 +269,9 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
                 keep_local = max(1, cfg.prune_keep // self._n_devices())
             labels, dists = self._sharded.search(np.asarray(q), cfg, enc_params, keep_local=keep_local)
             return {"labels": labels, "distances": dists}
-        labels, dists, steps = beam_search_batch(q, self._graph_data(), cfg, enc_params)
-        return {"labels": np.asarray(labels), "distances": np.asarray(dists)}
+        real_b, (qp,) = pad_batch_rows(np.asarray(q, dtype=np.float32))
+        labels, dists, steps = beam_search_batch(jnp.asarray(qp), self._graph_data(), cfg, enc_params)
+        return {"labels": np.asarray(labels)[:real_b], "distances": np.asarray(dists)[:real_b]}
 
     def search_text(
         self,
@@ -305,10 +306,11 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
             labels, dists = self._sharded.search(q, cfg, enc_params, keep_local=keep_local)
             return {"labels": labels, "distances": dists}
         q_ids, q_mask = enc.tokenize(queries)
+        real_b, (q_ids, q_mask) = pad_batch_rows(q_ids, q_mask)
         labels, dists, steps = beam_search_text_batch(
             jnp.asarray(q_ids), jnp.asarray(q_mask), self._graph_data(), cfg, enc_params
         )
-        return {"labels": np.asarray(labels), "distances": np.asarray(dists)}
+        return {"labels": np.asarray(labels)[:real_b], "distances": np.asarray(dists)[:real_b]}
 
 
 @register_backend("hnsw")
