@@ -197,6 +197,27 @@ class LeannBuilder:
             id = str(len(self.chunks))
         self.chunks.append({"id": id, "text": text, "metadata": metadata or {}})
 
+    @classmethod
+    def from_index(cls, index_path: str) -> "LeannBuilder":
+        """Builder pre-configured from an existing index's meta.json, for
+        incremental updates: add_text() new chunks, then update_index().
+        (The reference has no incremental path at all — SURVEY.md §5.)"""
+        with open(f"{index_path}.meta.json") as f:
+            meta = json.load(f)
+        b = cls(
+            backend_name=meta["backend_name"],
+            embedding_model=meta["embedding_model"],
+            embedding_mode=meta.get("embedding_mode", "tpu"),
+            dimensions=meta.get("dimensions"),
+            distance_metric=meta.get("distance_metric"),
+            is_compact=meta.get("is_compact", True),
+            is_recompute=meta.get("is_recompute", True),
+            max_length=meta.get("max_length", 256),
+            **meta.get("backend_kwargs", {}),
+        )
+        b._update_meta = meta
+        return b
+
     # -- build -------------------------------------------------------------
 
     def _embed(self, texts: List[str], is_build: bool = True) -> np.ndarray:
@@ -235,6 +256,95 @@ class LeannBuilder:
         logger.info("build phase backend: %.1fs", time.time() - t)
         self._write_meta(prefix, [source], n=len(chunks))
         logger.info("built index %s (%d chunks) in %.2fs", prefix, len(chunks), time.time() - t0)
+
+    def update_index(self, index_path: str, insert_batch_size: int = 256) -> None:
+        """Incrementally insert this builder's chunks into an existing index.
+
+        Vamana-style batched insertion (ops/insert.py): discovery search →
+        robust prune → reverse repair, all batched device programs. Appends
+        passages/tokens/ids, then updates the graph payload and meta. Open
+        searchers must be re-created to see the new nodes.
+        """
+        prefix = str(index_path)
+        with open(f"{prefix}.meta.json") as f:
+            meta = json.load(f)
+        if meta["backend_name"] != self.backend_name:
+            raise ValueError(f"index is {meta['backend_name']!r}, builder is {self.backend_name!r}")
+        if meta["embedding_model"] != self.embedding_model:
+            raise ValueError("embedding_model mismatch with existing index")
+        factory = get_backend(self.backend_name)
+        insert = getattr(factory, "insert", None)
+        if insert is None:
+            raise NotImplementedError(
+                f"backend {self.backend_name!r} does not support incremental insert "
+                "(diskann's partition-contiguous relabeling requires a rebuild)"
+            )
+        chunks = [c for c in self.chunks if c["text"] and c["text"].strip()]
+        if not chunks:
+            raise ValueError("No non-empty chunks to insert")
+        n_old = int(meta.get("num_chunks", 0))
+        # ids: continue the numeric sequence unless the caller set explicit ids
+        with open(f"{prefix}.passages.idx", "rb") as f:
+            offsets: Dict[str, int] = pickle.load(f)
+        # default ids from add_text are positional ("0","1",...) — remap onto
+        # the appended range; explicit non-colliding ids pass through
+        for i, c in enumerate(chunks):
+            if c["id"].isdigit() and int(c["id"]) < n_old:
+                chunks[i] = {**c, "id": str(n_old + i)}
+            elif c["id"] in offsets:
+                raise ValueError(f"duplicate id {c['id']!r} already in index")
+        texts = [c["text"] for c in chunks]
+
+        t0 = time.time()
+        embeddings = self._embed(texts)
+        if self.distance_metric == "cosine":
+            embeddings = embeddings / np.maximum(
+                np.linalg.norm(embeddings, axis=1, keepdims=True), 1e-12
+            )
+        # 1. append passages + offsets + ids (before graph update so compact
+        # recompute can address the new token rows)
+        with open(f"{prefix}.passages.jsonl", "ab") as f:
+            for c in chunks:
+                offsets[c["id"]] = f.tell()
+                f.write(json.dumps({"id": c["id"], "text": c["text"], "metadata": c.get("metadata", {})},
+                                   ensure_ascii=False).encode("utf-8"))
+                f.write(b"\n")
+        with open(f"{prefix}.passages.idx", "wb") as f:
+            pickle.dump(offsets, f)
+        ids_path = f"{prefix}.ids.json"
+        if os.path.exists(ids_path):
+            with open(ids_path) as f:
+                id_list = json.load(f)
+            id_list.extend(c["id"] for c in chunks)
+            with open(ids_path, "w") as f:
+                json.dump(id_list, f)
+        # 2. append tokens
+        tok_path = f"{prefix}.tokens.npz"
+        if os.path.exists(tok_path):
+            from .embeddings.encoder import get_encoder
+
+            enc = get_encoder(self.embedding_model, max_length=meta.get("max_length", self.max_length))
+            z = np.load(tok_path)
+            new_tok, new_mask = enc.tokenize(texts)
+            t_old = z["tokens"].shape[1]
+            new_tok = new_tok[:, :t_old]
+            lengths = np.minimum(new_mask.sum(axis=1), t_old).astype(np.int32)
+            np.savez_compressed(
+                tok_path,
+                tokens=np.concatenate([z["tokens"], new_tok.astype(z["tokens"].dtype)]),
+                lengths=np.concatenate([z["lengths"], lengths]),
+            )
+        # 3. graph insert, in bounded batches
+        for s in range(0, len(chunks), insert_batch_size):
+            insert(prefix, embeddings[s : s + insert_batch_size])
+        # 4. meta
+        meta["num_chunks"] = n_old + len(chunks)
+        if meta.get("passage_sources"):
+            meta["passage_sources"][0]["count"] = meta["num_chunks"]
+        with open(f"{prefix}.meta.json", "w") as f:
+            json.dump(meta, f, indent=2)
+        logger.info("updated index %s: +%d chunks (%d total) in %.2fs",
+                    prefix, len(chunks), meta["num_chunks"], time.time() - t0)
 
     def build_index_from_embeddings(self, index_path: str, ids: Sequence[str], embeddings: np.ndarray,
                                     texts: Optional[Sequence[str]] = None) -> None:

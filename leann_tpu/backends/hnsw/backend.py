@@ -313,6 +313,45 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
         return {"labels": np.asarray(labels)[:real_b], "distances": np.asarray(dists)[:real_b]}
 
 
+def insert_hnsw(index_path: str, new_emb: np.ndarray, ef: int = 64, alpha: float = 1.2) -> int:
+    """Incrementally insert ``new_emb`` [B, D] (already metric-normalized)
+    into an existing hnsw index — Vamana batched insertion (ops/insert.py).
+    Token/passauge appends are the API layer's job and must happen BEFORE this
+    call so compact-index recompute can see the new rows. Returns new N.
+
+    The reference cannot do this at all (full rebuild per update, SURVEY.md
+    §5 'no incremental/streaming build')."""
+    from ...ops.insert import insert_batch
+    from ...ops.pq import encode_pq_blocked
+
+    path = f"{index_path}.hnsw.npz"
+    z = dict(np.load(path, allow_pickle=False))
+    searcher = HnswSearcher(index_path)
+    new_emb = np.ascontiguousarray(new_emb, dtype=np.float32)
+    n_old = int(z["neighbors"].shape[0])
+
+    new_rows, touched, touched_rows = insert_batch(searcher, new_emb, ef=ef, alpha=alpha)
+    neighbors = np.concatenate([z["neighbors"], new_rows.astype(z["neighbors"].dtype)])
+    if touched.size:
+        neighbors[touched] = touched_rows
+    z["neighbors"] = neighbors
+    if "codes" in z:
+        z["codes"] = np.concatenate([z["codes"], encode_pq_blocked(new_emb, z["codebooks"])])
+    if "embeddings" in z:
+        z["embeddings"] = np.concatenate([z["embeddings"], new_emb])
+    # keep the entry pool covering the appended id range
+    pool_cap = ENTRY_POOL_SIZE if (("codes" in z) or ("embeddings" in z)) else N_ENTRY_POINTS
+    room = pool_cap - z["entries"].shape[0]
+    if room > 0:
+        step = max(1, new_emb.shape[0] // max(room, 1))
+        extra = np.arange(n_old, n_old + new_emb.shape[0], step, dtype=np.int32)[:room]
+        z["entries"] = np.concatenate([z["entries"], extra])
+    np.savez(path, **z)
+    logger.info("hnsw insert: %d -> %d nodes (%d rows repaired)",
+                n_old, neighbors.shape[0], touched.size)
+    return int(neighbors.shape[0])
+
+
 @register_backend("hnsw")
 class HnswBackendFactory(LeannBackendFactoryInterface):
     @staticmethod
@@ -322,3 +361,7 @@ class HnswBackendFactory(LeannBackendFactoryInterface):
     @staticmethod
     def searcher(index_path: str, **kwargs) -> HnswSearcher:
         return HnswSearcher(index_path, **kwargs)
+
+    @staticmethod
+    def insert(index_path: str, embeddings: np.ndarray, **kwargs) -> int:
+        return insert_hnsw(index_path, embeddings, **kwargs)

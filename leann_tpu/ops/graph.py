@@ -356,6 +356,48 @@ def _robust_prune_device(
     return out.reshape(np_total, r)
 
 
+@functools.partial(jax.jit, static_argnames=("r", "alpha", "keep_closest"))
+def robust_prune_explicit(
+    p_emb: jnp.ndarray,    # f32 [B, D] node embeddings
+    cand_ids: jnp.ndarray, # i32 [B, C] (-1 = invalid)
+    cand_emb: jnp.ndarray, # f32 [B, C, D]
+    r: int,
+    alpha: float,
+    keep_closest: int,
+):
+    """Vamana robust prune over explicit candidate embeddings -> i32[B, R].
+
+    Incremental-insert variant of `_robust_prune_device`: candidates come
+    from a beam search over the live index (whose embeddings may only exist
+    transiently, recomputed from tokens), so the caller passes the gathered
+    [B, C, D] block instead of corpus-table indices."""
+    b, c, d = cand_emb.shape
+    pe = p_emb.astype(jnp.bfloat16)
+    ce = cand_emb.astype(jnp.bfloat16)
+    pn = jnp.sum(jnp.square(p_emb), axis=1)
+    cn = jnp.sum(jnp.square(cand_emb), axis=-1)
+    dots = jnp.einsum("bd,bcd->bc", pe, ce, preferred_element_type=jnp.float32)
+    d_pc = jnp.where(cand_ids >= 0, pn[:, None] + cn - 2.0 * dots, INF)
+    cc = jnp.einsum("bcd,bed->bce", ce, ce, preferred_element_type=jnp.float32)
+    d_cc = cn[:, :, None] + cn[:, None, :] - 2.0 * cc
+
+    def step(sc, t):
+        alive, dpc = sc
+        j = jnp.argmin(jnp.where(alive, dpc, INF), axis=1)
+        ok = jnp.take_along_axis(alive, j[:, None], axis=1)[:, 0] & (
+            jnp.take_along_axis(dpc, j[:, None], axis=1)[:, 0] < INF
+        )
+        sel = jnp.where(ok, jnp.take_along_axis(cand_ids, j[:, None], axis=1)[:, 0], -1)
+        d_jx = jnp.take_along_axis(d_cc, j[:, None, None], axis=1)[:, 0, :]
+        occl = alpha * d_jx <= dpc
+        alive = jnp.where(t >= keep_closest, alive & ~occl, alive)
+        alive = alive.at[jnp.arange(b), j].set(False)
+        return (alive, dpc), sel
+
+    (_, _), sels = jax.lax.scan(step, (cand_ids >= 0, d_pc), jnp.arange(r))
+    return sels.T
+
+
 # ---------------------------------------------------------------------------
 # Host passes: reverse-edge fill (post-prune) and medoid
 # ---------------------------------------------------------------------------
