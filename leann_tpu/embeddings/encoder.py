@@ -167,17 +167,23 @@ def encode_tokens(params: Dict, ids: jnp.ndarray, mask: jnp.ndarray, cfg: Encode
     dtype = jnp.dtype(cfg.compute_dtype)
     B, T = ids.shape
     x = params["tok_emb"][ids] + params["pos_emb"][:T][None, :, :]
+    # HF BERT checkpoints use exact (erf) gelu; tanh-approx is fine for the
+    # seeded prenorm models but drifts ~1e-3 against real weights
+    gelu_approx = cfg.arch == "prenorm"
     if cfg.arch == "bert":
         x = _layer_norm(x, params["emb_ln"])
     for layer in params["layers"]:
         if cfg.arch == "prenorm":
             x = x + _attention(_layer_norm(x, layer["ln1"]), mask, layer, cfg, dtype)
             h = _dense(_layer_norm(x, layer["ln2"]), layer["fc1"], dtype)
-            x = x + _dense(jax.nn.gelu(h).astype(dtype), layer["fc2"], dtype)
+            x = x + _dense(jax.nn.gelu(h, approximate=gelu_approx).astype(dtype), layer["fc2"], dtype)
         else:  # bert post-LN
             x = _layer_norm(x + _attention(x, mask, layer, cfg, dtype), layer["ln1"])
             h = _dense(x, layer["fc1"], dtype)
-            x = _layer_norm(x + _dense(jax.nn.gelu(h).astype(dtype), layer["fc2"], dtype), layer["ln2"])
+            x = _layer_norm(
+                x + _dense(jax.nn.gelu(h, approximate=gelu_approx).astype(dtype), layer["fc2"], dtype),
+                layer["ln2"],
+            )
     if cfg.arch == "prenorm":
         x = _layer_norm(x, params["final_ln"])
     # masked mean pooling in f32 (sentence-transformers-style)
