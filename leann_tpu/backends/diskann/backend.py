@@ -33,7 +33,13 @@ from ...interface import (
     LeannBackendFactoryInterface,
     LeannBackendSearcherInterface,
 )
-from ...ops.beam_search import BeamConfig, GraphData, beam_search_batch, beam_search_text_batch
+from ...ops.beam_search import (
+    BeamConfig,
+    GraphData,
+    beam_search_batch_packed,
+    beam_search_text_batch_packed,
+    unpack_results,
+)
 from ...ops.graph import build_graph
 from ...ops.pq import choose_m, encode_pq_blocked, train_pq
 from ...registry import register_backend
@@ -198,8 +204,9 @@ class DiskannSearcher(BaseSearcher, LeannBackendSearcherInterface):
             labels, dists = self._sharded.search(np.asarray(q), cfg, enc_params)
             return {"labels": labels, "distances": dists}
         real_b, (qp,) = pad_batch_rows(np.asarray(q, dtype=np.float32))
-        labels, dists, steps = beam_search_batch(jnp.asarray(qp), self._graph_data(), cfg, enc_params)
-        return {"labels": np.asarray(labels)[:real_b], "distances": np.asarray(dists)[:real_b]}
+        packed = beam_search_batch_packed(jnp.asarray(qp), self._graph_data(), cfg, enc_params)
+        labels, dists = unpack_results(packed)
+        return {"labels": labels[:real_b], "distances": dists[:real_b]}
 
     def search_text(self, query: "str | list", top_k: int, **kwargs) -> Dict[str, np.ndarray]:
         """Fused single-dispatch path (see hnsw.search_text); accepts a batch."""
@@ -214,10 +221,11 @@ class DiskannSearcher(BaseSearcher, LeannBackendSearcherInterface):
             return {"labels": labels, "distances": dists}
         q_ids, q_mask = enc.tokenize(queries)
         real_b, (q_ids, q_mask) = pad_batch_rows(q_ids, q_mask)
-        labels, dists, steps = beam_search_text_batch(
+        packed = beam_search_text_batch_packed(
             jnp.asarray(q_ids), jnp.asarray(q_mask), self._graph_data(), cfg, enc_params
         )
-        return {"labels": np.asarray(labels)[:real_b], "distances": np.asarray(dists)[:real_b]}
+        labels, dists = unpack_results(packed)
+        return {"labels": labels[:real_b], "distances": dists[:real_b]}
 
     def _make_cfg(
         self,
@@ -229,6 +237,7 @@ class DiskannSearcher(BaseSearcher, LeannBackendSearcherInterface):
         recompute_embeddings: bool = True,
         pruning_strategy: str = "global",
         batch_size: int = 0,
+        rerank_size: int = 0,  # 0 = rerank the full L-pool (reference default)
         zmq_port: Optional[int] = None,
         need_encoder: bool = False,
         **kwargs,
@@ -242,13 +251,18 @@ class DiskannSearcher(BaseSearcher, LeannBackendSearcherInterface):
         enc_cfg = None
         rerank = 0
         rerank_source = "recompute"
+        # deferred fetch reranks the pool head; rerank_size trims it below L
+        # (parity knob: reference batch_recompute caps the recompute batch,
+        # diskann_backend.py:452-467) — must stay >= top_k to not lose results
+        rr = min(l, rerank_size) if rerank_size else l
+        rr = max(rr, top_k)
         if recompute_embeddings:
             if self.has_tokens:
                 enc = self._encoder()
                 enc_params, enc_cfg = enc.params, enc.cfg
-                rerank = l  # deferred fetch: one exact pass over the pool
+                rerank = rr  # deferred fetch: one exact pass over the pool head
             elif self.emb.shape != (1, 1):
-                rerank = l  # exact rerank from stored embeddings
+                rerank = rr  # exact rerank from stored embeddings
                 rerank_source = "stored"
             else:
                 raise RuntimeError("recompute requested but index has no token store")

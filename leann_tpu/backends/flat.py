@@ -23,7 +23,8 @@ from ..interface import (
     LeannBackendFactoryInterface,
     LeannBackendSearcherInterface,
 )
-from ..ops.distance import flat_search
+from ..ops.beam_search import unpack_results
+from ..ops.distance import flat_search_packed
 from ..registry import register_backend
 from .common import BaseSearcher, pad_batch_rows, round_up, save_ids
 
@@ -74,14 +75,15 @@ class FlatSearcher(BaseSearcher, LeannBackendSearcherInterface):
         q = jnp.asarray(qn)
         k = min(top_k, self.n)
         if self._use_pallas:
-            from ..ops.pallas_topk import pallas_flat_search
+            from ..ops.pallas_topk import pallas_flat_search_packed
 
-            labels, dists = pallas_flat_search(
+            packed = pallas_flat_search_packed(
                 self._emb, q, self._valid_n, k, self.metric, tile=PALLAS_TILE, en=self._en
             )
         else:
-            labels, dists = flat_search(self._emb, q, self._valid_n, k, self.metric)
-        return {"labels": np.asarray(labels)[:real_b], "distances": np.asarray(dists)[:real_b]}
+            packed = flat_search_packed(self._emb, q, self._valid_n, k, self.metric)
+        labels, dists = unpack_results(packed)
+        return {"labels": labels[:real_b], "distances": dists[:real_b]}
 
 
 @register_backend("flat")

@@ -36,7 +36,13 @@ from ...interface import (
     LeannBackendFactoryInterface,
     LeannBackendSearcherInterface,
 )
-from ...ops.beam_search import BeamConfig, GraphData, beam_search_batch, beam_search_text_batch
+from ...ops.beam_search import (
+    BeamConfig,
+    GraphData,
+    beam_search_batch_packed,
+    beam_search_text_batch_packed,
+    unpack_results,
+)
 from ...ops.graph import build_graph
 from ...ops.pq import choose_m, encode_pq_blocked, train_pq
 from ...registry import register_backend
@@ -270,8 +276,9 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
             labels, dists = self._sharded.search(np.asarray(q), cfg, enc_params, keep_local=keep_local)
             return {"labels": labels, "distances": dists}
         real_b, (qp,) = pad_batch_rows(np.asarray(q, dtype=np.float32))
-        labels, dists, steps = beam_search_batch(jnp.asarray(qp), self._graph_data(), cfg, enc_params)
-        return {"labels": np.asarray(labels)[:real_b], "distances": np.asarray(dists)[:real_b]}
+        packed = beam_search_batch_packed(jnp.asarray(qp), self._graph_data(), cfg, enc_params)
+        labels, dists = unpack_results(packed)
+        return {"labels": labels[:real_b], "distances": dists[:real_b]}
 
     def search_text(
         self,
@@ -307,10 +314,11 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
             return {"labels": labels, "distances": dists}
         q_ids, q_mask = enc.tokenize(queries)
         real_b, (q_ids, q_mask) = pad_batch_rows(q_ids, q_mask)
-        labels, dists, steps = beam_search_text_batch(
+        packed = beam_search_text_batch_packed(
             jnp.asarray(q_ids), jnp.asarray(q_mask), self._graph_data(), cfg, enc_params
         )
-        return {"labels": np.asarray(labels)[:real_b], "distances": np.asarray(dists)[:real_b]}
+        labels, dists = unpack_results(packed)
+        return {"labels": labels[:real_b], "distances": dists[:real_b]}
 
 
 def insert_hnsw(index_path: str, new_emb: np.ndarray, ef: int = 64, alpha: float = 1.2) -> int:

@@ -234,12 +234,41 @@ def _search_one(q: jnp.ndarray, g: GraphData, cfg: BeamConfig, enc_params):
     return cand_ids[: cfg.k], cand_dist[: cfg.k], steps
 
 
+def pack_results(labels: jnp.ndarray, dists: jnp.ndarray) -> jnp.ndarray:
+    """labels i32[B, k] + dists f32[B, k] -> i32[B, 2k], fused into the jitted
+    program. Every device->host sync pays a full tunnel RTT (~28 ms on a
+    tunneled TPU), so fetching labels and distances as two separate
+    ``np.asarray`` calls doubles query latency; one packed buffer crosses in a
+    single transfer. Distances are *bitcast* (exact bits), recovered by
+    :func:`unpack_results`."""
+    return jnp.concatenate([labels, jax.lax.bitcast_convert_type(dists, jnp.int32)], axis=1)
+
+
+def unpack_results(packed) -> tuple:
+    """Host-side inverse of :func:`pack_results` -> (labels i32, dists f32)."""
+    import numpy as np
+
+    arr = np.asarray(packed)
+    k = arr.shape[1] // 2
+    return arr[:, :k], np.ascontiguousarray(arr[:, k:]).view(np.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def beam_search_batch(q: jnp.ndarray, g: GraphData, cfg: BeamConfig, enc_params=None):
     """q [B, D] -> (labels i32[B, k], dists f32[B, k], steps i32[B])."""
     if enc_params is None:
         enc_params = {"_": jnp.zeros((1,), jnp.float32)}
     return jax.vmap(lambda qi: _search_one(qi, g, cfg, enc_params))(q)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def beam_search_batch_packed(q: jnp.ndarray, g: GraphData, cfg: BeamConfig, enc_params=None):
+    """Like :func:`beam_search_batch` but returns one packed i32[B, 2k] buffer
+    (single device->host transfer; see :func:`pack_results`)."""
+    if enc_params is None:
+        enc_params = {"_": jnp.zeros((1,), jnp.float32)}
+    labels, dists, _ = jax.vmap(lambda qi: _search_one(qi, g, cfg, enc_params))(q)
+    return pack_results(labels, dists)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -252,6 +281,18 @@ def beam_search_text_batch(q_ids: jnp.ndarray, q_mask: jnp.ndarray, g: GraphData
     if cfg.normalize and not cfg.enc_cfg.normalize:
         q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
     return jax.vmap(lambda qi: _search_one(qi, g, cfg, enc_params))(q)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def beam_search_text_batch_packed(q_ids: jnp.ndarray, q_mask: jnp.ndarray, g: GraphData,
+                                  cfg: BeamConfig, enc_params):
+    """Fused encode+search returning one packed i32[B, 2k] buffer (single
+    device->host transfer; see :func:`pack_results`)."""
+    q = encode_tokens(enc_params, q_ids, q_mask, cfg.enc_cfg)
+    if cfg.normalize and not cfg.enc_cfg.normalize:
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    labels, dists, _ = jax.vmap(lambda qi: _search_one(qi, g, cfg, enc_params))(q)
+    return pack_results(labels, dists)
 
 
 def make_dummy(shape=(1, 1), dtype=jnp.float32):

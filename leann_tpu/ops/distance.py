@@ -52,3 +52,13 @@ def flat_search(e: jnp.ndarray, q: jnp.ndarray, valid_n: jnp.ndarray, k: int, me
     d = jnp.where(col < valid_n, d, INF)
     neg_top, idx = jax.lax.top_k(-d, k)
     return idx.astype(jnp.int32), -neg_top
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def flat_search_packed(e: jnp.ndarray, q: jnp.ndarray, valid_n: jnp.ndarray, k: int, metric: str):
+    """:func:`flat_search` returning one packed i32[B, 2k] buffer so labels and
+    distances cross the host<->device boundary in a single transfer."""
+    from .beam_search import pack_results
+
+    labels, dists = flat_search(e, q, valid_n, k, metric)
+    return pack_results(labels, dists)

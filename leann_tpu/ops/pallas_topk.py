@@ -131,6 +131,16 @@ def pallas_flat_search(
     return idx, dists
 
 
+@functools.partial(jax.jit, static_argnames=("k", "metric", "tile"))
+def pallas_flat_search_packed(e, q, valid_n, k, metric, tile=512, en=None):
+    """:func:`pallas_flat_search` returning one packed i32[B, 2k] buffer
+    (single device->host transfer; see ops/beam_search.pack_results)."""
+    from .beam_search import pack_results
+
+    idx, dists = pallas_flat_search(e, q, valid_n, k, metric, tile=tile, en=en)
+    return pack_results(idx, dists)
+
+
 def supported_on_backend() -> bool:
     import jax
 

@@ -36,7 +36,7 @@ from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from ..embeddings.encoder import encode_tokens
-from ..ops.beam_search import BIG, INF, BeamConfig, _merge_pool
+from ..ops.beam_search import BIG, INF, BeamConfig, _merge_pool, pack_results, unpack_results
 from ..ops.pq import adc_distances, adc_lut
 
 try:  # jax>=0.6 exposes shard_map at top level
@@ -299,13 +299,12 @@ class ShardedSearcher:
                     out_specs=(P(), P()),
                     check_vma=False,
                 )
-                return body(q, g, enc_params)
+                labels, dists = body(q, g, enc_params)
+                return pack_results(labels, dists)  # one host transfer
 
             self._jitted[key] = jax.jit(fn)
         if enc_params is None:
             enc_params = {"_": jnp.zeros((1,), jnp.float32)}
-        labels, dists = self._jitted[key](jnp.asarray(q), self.g, enc_params)
-        labels = np.asarray(labels)
-        dists = np.asarray(dists)
+        labels, dists = unpack_results(self._jitted[key](jnp.asarray(q), self.g, enc_params))
         labels = np.where(labels >= self.n, -1, labels)  # padding rows
         return labels, dists

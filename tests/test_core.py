@@ -231,3 +231,20 @@ class TestBatchedQueries:
         s = LeannSearcher(idx)
         res = s.search(emb[:3], top_k=1)
         assert len(res) == 3 and [r[0].id for r in res] == ["0", "1", "2"]
+
+
+class TestPackedResults:
+    def test_roundtrip_exact_bits(self, rng):
+        import jax.numpy as jnp
+
+        from leann_tpu.ops.beam_search import pack_results, unpack_results
+
+        labels = rng.integers(-1, 2**31 - 1, size=(4, 7), dtype=np.int32)
+        dists = rng.standard_normal((4, 7)).astype(np.float32)
+        dists[0, 0] = 3.4e38  # INF sentinel must survive the bitcast
+        dists[1, 2] = 1e-42  # denormal payload too
+        packed = pack_results(jnp.asarray(labels), jnp.asarray(dists))
+        assert packed.dtype == jnp.int32 and packed.shape == (4, 14)
+        out_l, out_d = unpack_results(packed)
+        np.testing.assert_array_equal(out_l, labels)
+        np.testing.assert_array_equal(out_d.view(np.int32), dists.view(np.int32))
