@@ -238,6 +238,7 @@ class DiskannSearcher(BaseSearcher, LeannBackendSearcherInterface):
         pruning_strategy: str = "global",
         batch_size: int = 0,
         rerank_size: int = 0,  # 0 = rerank the full L-pool (reference default)
+        n_entries: int = 16,  # query-aware seeds screened from the entry pool
         zmq_port: Optional[int] = None,
         need_encoder: bool = False,
         **kwargs,
@@ -279,6 +280,7 @@ class DiskannSearcher(BaseSearcher, LeannBackendSearcherInterface):
             prune_keep=0,
             rerank=rerank,
             rerank_source=rerank_source,
+            n_entries=max(1, n_entries),
             normalize=(self.metric == "cosine"),
             enc_cfg=enc_cfg,
         )

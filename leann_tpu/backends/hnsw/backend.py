@@ -202,6 +202,7 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
         recompute_embeddings: bool,
         pruning_strategy: str,
         batch_size: int,
+        n_entries: int = 16,
         need_encoder: bool = False,
     ):
         l = max(complexity, top_k, beam_width)
@@ -245,6 +246,7 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
             traversal=traversal,
             prune_keep=prune_keep,
             rerank=0,
+            n_entries=max(1, n_entries),
             normalize=(self.metric == "cosine"),
             enc_cfg=enc_cfg,
         )
@@ -261,13 +263,14 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
         recompute_embeddings: bool = True,
         pruning_strategy: str = "global",
         batch_size: int = 0,
+        n_entries: int = 16,
         zmq_port: Optional[int] = None,
         **kwargs,
     ) -> Dict[str, np.ndarray]:
         q = jnp.asarray(np.ascontiguousarray(query, dtype=np.float32))
         cfg, enc_params = self._make_cfg(
             top_k, complexity, beam_width, prune_ratio, recompute_embeddings,
-            pruning_strategy, batch_size,
+            pruning_strategy, batch_size, n_entries=n_entries,
         )
         if self._sharded is not None:
             keep_local = 0
@@ -291,6 +294,7 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
         recompute_embeddings: bool = True,
         pruning_strategy: str = "global",
         batch_size: int = 0,
+        n_entries: int = 16,
         zmq_port: Optional[int] = None,
         **kwargs,
     ) -> Dict[str, np.ndarray]:
@@ -300,7 +304,7 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
         queries = [query] if isinstance(query, str) else list(query)
         cfg, enc_params = self._make_cfg(
             top_k, complexity, beam_width, prune_ratio, recompute_embeddings,
-            pruning_strategy, batch_size, need_encoder=True,
+            pruning_strategy, batch_size, n_entries=n_entries, need_encoder=True,
         )
         enc = self._encoder()
         if self._sharded is not None:

@@ -46,6 +46,7 @@ class EncoderConfig:
     max_len: int = 256
     arch: str = "prenorm"  # "prenorm" (seeded) | "bert" (HF post-LN weights)
     normalize: bool = True  # L2-normalize pooled output (cosine-ready)
+    center: bool = False  # subtract the model's mean output direction (hash-*)
     compute_dtype: str = "bfloat16"
 
     @property
@@ -57,11 +58,17 @@ class EncoderConfig:
 # hash-tokenizer architectures when no local weights exist (api.py:301-368
 # auto-detects normalized models; we mirror: MiniLM-class normalizes,
 # contriever-class does not).
+# hash-* models are seeded random transformers; their mean-pooled outputs
+# share a dominant common direction (random pairs land at cos ~0.7, crushing
+# every margin into ties — trained encoders don't behave this way). `center`
+# subtracts the model's mean output ("all-but-the-top" anisotropy removal,
+# seeded probe set, deterministic per model name) so the hash stand-ins have
+# the geometry of real sentence encoders.
 MODEL_REGISTRY: Dict[str, EncoderConfig] = {
-    "hash-tiny": EncoderConfig("hash-tiny", vocab_size=2048, dim=64, n_layers=2, n_heads=2, mlp_dim=128, max_len=128),
-    "hash-minilm": EncoderConfig("hash-minilm"),
+    "hash-tiny": EncoderConfig("hash-tiny", vocab_size=2048, dim=64, n_layers=2, n_heads=2, mlp_dim=128, max_len=128, center=True),
+    "hash-minilm": EncoderConfig("hash-minilm", center=True),
     "hash-contriever": EncoderConfig(
-        "hash-contriever", dim=768, n_layers=12, n_heads=12, mlp_dim=3072, normalize=False
+        "hash-contriever", dim=768, n_layers=12, n_heads=12, mlp_dim=3072, normalize=False, center=True
     ),
 }
 _ALIASES = {
@@ -189,6 +196,8 @@ def encode_tokens(params: Dict, ids: jnp.ndarray, mask: jnp.ndarray, cfg: Encode
     # masked mean pooling in f32 (sentence-transformers-style)
     m = mask.astype(jnp.float32)[:, :, None]
     pooled = jnp.sum(x.astype(jnp.float32) * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
+    if cfg.center and "out_center" in params:
+        pooled = pooled - params["out_center"]
     if cfg.normalize:
         pooled = pooled / jnp.maximum(jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12)
     return pooled
@@ -204,6 +213,19 @@ def _round_up_pow2(n: int, lo: int, hi: int) -> int:
     while v < n and v < hi:
         v *= 2
     return min(v, hi)
+
+
+def _compute_out_center(params: Dict, cfg: EncoderConfig) -> jnp.ndarray:
+    """Mean pooled output over a seeded probe set — the model's anisotropy
+    direction. Deterministic per model name, so separate build/search
+    processes subtract the same vector."""
+    key = jax.random.PRNGKey(stable_hash(cfg.name + "/center") % (2**31))
+    t = min(32, cfg.max_len)
+    ids = jax.random.randint(key, (256, t), 0, cfg.vocab_size, dtype=jnp.int32)
+    mask = jnp.ones((256, t), jnp.int32)
+    raw_cfg = replace(cfg, center=False, normalize=False)
+    pooled = encode_tokens(params, ids, mask, raw_cfg)
+    return jnp.mean(pooled, axis=0)
 
 
 class JaxEncoder:
@@ -229,7 +251,10 @@ class JaxEncoder:
                 return params
             except Exception as e:
                 logger.warning("could not load HF weights from %s (%s); seeded init", model_name, e)
-        return init_params(self.cfg)
+        params = init_params(self.cfg)
+        if self.cfg.center:
+            params["out_center"] = _compute_out_center(params, self.cfg)
+        return params
 
     @property
     def dim(self) -> int:

@@ -43,7 +43,11 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 INF = jnp.float32(3.4e38)
-EXACT_KNN_MAX_N = 65536  # beyond this, build_graph switches to NN-descent
+# Beyond this, build_graph switches to NN-descent. The exact O(N²·D) pass is
+# pure streaming MXU work (~15 s at N=100K, k=64 on v5e) and beats NN-descent
+# on both wall-clock and quality up to about a million rows; descent owns the
+# multi-million regime where N² stops being payable.
+EXACT_KNN_MAX_N = 1 << 20
 
 
 def _pad_rows(x: np.ndarray, np_total: int, fill=0) -> np.ndarray:
@@ -133,6 +137,117 @@ def exact_knn(
 
 
 # ---------------------------------------------------------------------------
+# Cluster-bootstrapped init for NN-descent (large corpora)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters",))
+def _kmeans_full(x: jnp.ndarray, init: jnp.ndarray, n_iters: int) -> jnp.ndarray:
+    """Lloyd's k-means over full-D rows: x [S, D], init [K, D] -> [K, D].
+    One batched distance matmul per iteration (MXU)."""
+
+    def step(c, _):
+        d = (
+            jnp.sum(x * x, axis=1, keepdims=True)
+            - 2.0 * jnp.dot(x, c.T, preferred_element_type=jnp.float32)
+            + jnp.sum(c * c, axis=1)[None, :]
+        )
+        one_hot = jax.nn.one_hot(jnp.argmin(d, axis=1), c.shape[0], dtype=jnp.float32)
+        counts = jnp.sum(one_hot, axis=0)
+        sums = jnp.dot(one_hot.T, x, preferred_element_type=jnp.float32)
+        return jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), c), None
+
+    c, _ = jax.lax.scan(step, init, None, length=n_iters)
+    return c
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _assign_clusters(emb: jnp.ndarray, cent: jnp.ndarray, block: int) -> jnp.ndarray:
+    """emb [Np, D], cent [K, D] -> nearest-centroid id i32[Np] (blocked scan)."""
+    np_total, d = emb.shape
+    cn = jnp.sum(jnp.square(cent), axis=1)
+    cbf = cent.astype(jnp.bfloat16)
+
+    def blk(carry, bi):
+        pe = jax.lax.dynamic_slice(emb, (bi * block, 0), (block, d))
+        dots = jnp.dot(pe.astype(jnp.bfloat16), cbf.T, preferred_element_type=jnp.float32)
+        return carry, jnp.argmin(cn[None, :] - 2.0 * dots, axis=1).astype(jnp.int32)
+
+    _, out = jax.lax.scan(blk, None, jnp.arange(np_total // block))
+    return out.reshape(np_total)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "window"))
+def _window_knn_device(ebf: jnp.ndarray, norms: jnp.ndarray, n_real: jnp.ndarray,
+                       k: int, window: int):
+    """Exact k-NN *within* consecutive row windows -> global ids i32[Np, k].
+    Rows must already be ordered so windows are meaningful (cluster-sorted)."""
+    np_total, d = ebf.shape
+
+    def blk(carry, wi):
+        s = wi * window
+        we = jax.lax.dynamic_slice(ebf, (s, 0), (window, d))
+        wn = jax.lax.dynamic_slice(norms, (s,), (window,))
+        dots = jax.lax.dot_general(
+            we, we, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dmat = wn[:, None] + wn[None, :] - 2.0 * dots
+        ids = s + jax.lax.broadcasted_iota(jnp.int32, dmat.shape, 1)
+        row_ids = s + jax.lax.broadcasted_iota(jnp.int32, dmat.shape, 0)
+        bad = (ids >= n_real) | (ids == row_ids)
+        dmat = jnp.where(bad, INF, dmat)
+        neg, pos = jax.lax.top_k(-dmat, k)
+        out_ids = jnp.where(-neg < INF, jnp.take_along_axis(ids, pos, axis=1), -1)
+        return carry, (out_ids, -neg)
+
+    _, (ids, dists) = jax.lax.scan(blk, None, jnp.arange(np_total // window))
+    return ids.reshape(np_total, k), dists.reshape(np_total, k)
+
+
+def cluster_window_init(
+    emb: np.ndarray, k: int, window: int = 2048, seed: int = 0,
+    points_per_cluster: int = 64, kmeans_sample: int = 65536, kmeans_iters: int = 8,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """IVF-style NN-descent init: spherical-ish k-means -> sort rows by
+    cluster -> exact k-NN inside fixed windows of the sorted order.
+
+    Random-init NN-descent mixes catastrophically slowly on clustered corpora
+    (true-1NN candidate recall 0.33 after 16 rounds at N=100K); seeding each
+    node with exact neighbors from its own cluster turns descent into a
+    boundary-repair pass. All phases are batched matmuls. -> (ids, dists),
+    both [N, k], dists = squared L2 (INF where invalid)."""
+    n, d = emb.shape
+    rng = np.random.default_rng(seed)
+    n_clusters = max(8, min(n // points_per_cluster, 65536))
+    sample = emb[rng.choice(n, min(kmeans_sample, n), replace=False)]
+    init_c = sample[rng.choice(sample.shape[0], n_clusters, replace=False)]
+    cent = _kmeans_full(jnp.asarray(sample), jnp.asarray(init_c), kmeans_iters)
+
+    block = 8192
+    np_total = _bucket_rows(n, block)
+    emb_p = jnp.asarray(_pad_rows(emb, np_total))
+    assign = np.asarray(_assign_clusters(emb_p, cent, block))[:n]
+    order = np.argsort(assign, kind="stable").astype(np.int64)
+
+    np_w = _bucket_rows(n, window)
+    emb_o = jnp.asarray(_pad_rows(emb[order], np_w))
+    ids_w, dists_w = _window_knn_device(
+        emb_o.astype(jnp.bfloat16), jnp.sum(jnp.square(emb_o), axis=1),
+        jnp.int32(n), k, window,
+    )
+    ids_w = np.asarray(ids_w)[:n]
+    dists_w = np.asarray(dists_w)[:n]
+    # map window-order ids back to original labels
+    ids = np.where(ids_w >= 0, order[np.clip(ids_w, 0, n - 1)], -1).astype(np.int32)
+    out_ids = np.full((n, k), -1, np.int32)
+    out_d = np.full((n, k), np.float32(3.4e38), np.float32)
+    out_ids[order] = ids
+    out_d[order] = dists_w
+    return out_ids, out_d
+
+
+# ---------------------------------------------------------------------------
 # NN-descent (large corpora): one device program per iteration
 # ---------------------------------------------------------------------------
 
@@ -186,9 +301,15 @@ def _nn_descent_iter(
 
     rev = _reverse_edges_device(nbrs, k_rev, cap=k)
 
-    # 2-hop: h sampled neighbor columns (of both nbrs and rev) seed a gather
-    # of each seed's k2 *closest* neighbors (rows are distance-sorted)
-    cols1 = jax.random.permutation(k_hop1, k)[:h]
+    # 2-hop seeds: the h//2 CLOSEST neighbor columns (rows are sorted by
+    # distance — closest-first join is what makes NN-descent converge on
+    # clustered data) plus h//2 random columns for exploration; reverse-edge
+    # seeds stay random (reverse rows are unsorted).
+    n_close = max(1, h // 2)
+    cols1 = jnp.concatenate([
+        jnp.arange(n_close, dtype=jnp.int32),
+        jax.random.permutation(k_hop1, k - n_close)[: h - n_close] + n_close,
+    ])
     cols2 = jax.random.permutation(k_hop2, k)[:h]
 
     def blk(carry, bi):
@@ -201,8 +322,14 @@ def _nn_descent_iter(
         hop_seed = jnp.concatenate(
             [jnp.take(nb, cols1, axis=1), jnp.take(rv, cols2, axis=1)], axis=1
         )  # [B, 2h]
-        two = nbrs[jnp.clip(hop_seed, 0, np_total - 1), :k2].reshape(block, 2 * h * k2)
-        two = jnp.where(jnp.repeat(hop_seed < 0, k2, axis=1), -1, two)
+        seed_safe = jnp.clip(hop_seed, 0, np_total - 1)
+        # full NN-descent local join needs BOTH directions through each seed:
+        # forward (seed's neighbors) and reverse (nodes listing the seed) —
+        # forward-only mixing converges measurably slower
+        two = jnp.concatenate(
+            [nbrs[seed_safe, :k2], rev[seed_safe, :k2]], axis=1
+        ).reshape(block, 4 * h * k2)
+        two = jnp.where(jnp.repeat(hop_seed < 0, 2 * k2, axis=1), -1, two)
         # random escapes for corpora with weak cluster structure
         rand = jax.random.randint(
             jax.random.fold_in(k_rand, bi), (block, n_rand), 0,
@@ -231,10 +358,10 @@ def _nn_descent_iter(
         # pad rows stay neighborless so they never emit reverse edges
         real = (row_ids[:, :1] < n_real)
         ids_b = jnp.where(real, ids_b, -1)
-        # progress: slots whose (sorted) distance strictly improved. top_k
-        # returns sorted rows, so this is sort-free — equal-quality swaps
-        # don't count, which is exactly the convergence signal we want.
-        chg = jnp.sum((-neg < od * (1.0 - 1e-6)) & real)
+        # progress: slots whose (sorted) distance improved by >0.1% relative.
+        # top_k returns sorted rows, so this is sort-free; the threshold keeps
+        # tie-noise churn (abundant in clustered corpora) out of the signal.
+        chg = jnp.sum((-neg < od * (1.0 - 1e-3)) & real)
         return carry + chg, (ids_b, -neg)
 
     changed, (ids, dists) = jax.lax.scan(
@@ -250,31 +377,41 @@ def nn_descent(
     block: int = 2048,
     seed: int = 0,
     min_update_frac: float = 0.001,
+    bootstrap: str = "cluster",  # cluster | random
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Approximate k-NN graph by NN-descent — O(N·C·D) per iteration instead
     of the exact O(N²·D), with every distance batch an MXU einsum and every
     iteration ONE device dispatch (+1 scalar readback for convergence).
     Candidates per round: current neighbors + sampled reverse edges + sampled
-    closest-first 2-hop + random escapes.
+    closest-first 2-hop + random escapes. ``bootstrap="cluster"`` seeds rows
+    with exact within-cluster neighbors (cluster_window_init) so descent only
+    repairs cluster boundaries — random init needs ~10x the rounds on
+    clustered corpora and still converges worse.
     -> (ids i32[N, k], dists f32[N, k])."""
     n, d = emb.shape
-    h = min(k, max(2, 256 // max(k, 1)))   # 2-hop seed columns
+    h = min(k, max(4, 512 // max(k, 1)))   # 2-hop seed columns
     k2 = min(k, 32)                         # neighbors gathered per seed
     n_rand = max(4, k // 4)
     # cap the block so the [block, C, D] bf16 gather stays ~256 MB
-    c_est = 2 * k + 2 * h * k2 + n_rand
+    c_est = 2 * k + 4 * h * k2 + n_rand
     mem_cap = max(64, int((256 << 20) / max(c_est * d * 2, 1)))
     block = max(8, (min(block, mem_cap) // 8) * 8)  # sublane-aligned
     np_total = _bucket_rows(n, block)
 
     rng = np.random.default_rng(seed)
-    nbrs0 = rng.integers(0, n - 1, size=(n, k)).astype(np.int32)
-    nbrs0 = np.where(nbrs0 >= np.arange(n)[:, None], nbrs0 + 1, nbrs0)  # no self
+    if bootstrap == "cluster" and n > 4096:
+        t0 = time.time()
+        nbrs0, dists0 = cluster_window_init(emb, k, seed=seed)
+        logger.info("nn_descent cluster init: %.1fs", time.time() - t0)
+    else:
+        nbrs0 = rng.integers(0, n - 1, size=(n, k)).astype(np.int32)
+        nbrs0 = np.where(nbrs0 >= np.arange(n)[:, None], nbrs0 + 1, nbrs0)  # no self
+        dists0 = np.full((n, k), np.float32(3.4e38), np.float32)
     nbrs = jnp.asarray(_pad_rows(nbrs0, np_total, fill=-1))
     emb_p = jnp.asarray(_pad_rows(emb, np_total))
     ebf = emb_p.astype(jnp.bfloat16)
     norms = jnp.sum(jnp.square(emb_p), axis=1)
-    dists = jnp.full((np_total, k), INF)
+    dists = jnp.asarray(_pad_rows(dists0, np_total, fill=np.float32(3.4e38)))
     base_key = jax.random.key(seed)
     for it in range(n_iters):
         t0 = time.time()
