@@ -77,12 +77,14 @@ class BaseSearcher:
         return emb
 
     def load_tokens(self) -> "tuple[np.ndarray, np.ndarray] | None":
-        """Load the build-time token matrix -> (tokens [N, T] i32, lengths [N])."""
+        """Load the build-time token matrix -> (tokens [N, T] u16|i32, lengths [N]).
+        Tokens keep their stored dtype (u16 when the vocab fits) so the HBM
+        copy is half-size; encode_tokens casts to i32 after the gather."""
         path = f"{self.index_path}.tokens.npz"
         if not os.path.exists(path):
             return None
         z = np.load(path)
-        return z["tokens"].astype(np.int32), z["lengths"].astype(np.int32)
+        return z["tokens"], z["lengths"].astype(np.int32)
 
     def cleanup(self) -> None:
         pass

@@ -173,6 +173,7 @@ def encode_tokens(params: Dict, ids: jnp.ndarray, mask: jnp.ndarray, cfg: Encode
     """
     dtype = jnp.dtype(cfg.compute_dtype)
     B, T = ids.shape
+    ids = ids.astype(jnp.int32)  # token stores keep u16 rows in HBM (half the bytes)
     x = params["tok_emb"][ids] + params["pos_emb"][:T][None, :, :]
     # HF BERT checkpoints use exact (erf) gelu; tanh-approx is fine for the
     # seeded prenorm models but drifts ~1e-3 against real weights

@@ -80,15 +80,31 @@ def _bucket_rows(n: int, block: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("k", "qb", "tile"))
-def _exact_knn_device(emb: jnp.ndarray, n_real: jnp.ndarray, k: int, qb: int, tile: int):
+@functools.partial(jax.jit, static_argnames=("k", "qb", "tile", "n_qblocks", "approx_recall"))
+def _exact_knn_device(emb: jnp.ndarray, n_real: jnp.ndarray, q_start: jnp.ndarray,
+                      k: int, qb: int, tile: int, n_qblocks: int,
+                      approx_recall: float = 1.0):
+    """KNN for ``n_qblocks * qb`` query rows starting at ``q_start`` against
+    the whole (padded) corpus. Chunked by the caller: a single dispatch
+    covering all of N² runs for minutes at N=500K+, long enough to trip the
+    tunneled-TPU watchdog (observed worker crash mid-build)."""
     np_total, d = emb.shape
     ebf = emb.astype(jnp.bfloat16)
     norms = jnp.sum(jnp.square(emb), axis=1)  # f32 [Np]
     n_tiles = np_total // tile
 
+    def panel_topk(neg_d, k):
+        """Top-k of -distance panels. lax.top_k over a [qb, 128K] panel costs
+        ~140 ms and dominates the whole O(N²) pass (matmuls are ~1%);
+        approx_max_k uses the TPU PartialReduce unit and is ~an order faster —
+        0.99 recall is irrelevant noise for *candidate generation* feeding the
+        α-prune."""
+        if approx_recall < 1.0:
+            return jax.lax.approx_max_k(neg_d, k, recall_target=approx_recall)
+        return jax.lax.top_k(neg_d, k)
+
     def q_block(carry, qi):
-        qs = qi * qb
+        qs = q_start + qi * qb
         qe = jax.lax.dynamic_slice(ebf, (qs, 0), (qb, d))
         qn = jax.lax.dynamic_slice(norms, (qs,), (qb,))
         q_ids = qs + jnp.arange(qb, dtype=jnp.int32)
@@ -106,9 +122,11 @@ def _exact_knn_device(emb: jnp.ndarray, n_real: jnp.ndarray, k: int, qb: int, ti
             ids = ts + jax.lax.broadcasted_iota(jnp.int32, dmat.shape, 1)
             bad = (ids >= n_real) | (ids == q_ids[:, None])  # pad + self
             dmat = jnp.where(bad, INF, dmat)
-            all_d = jnp.concatenate([run_d, dmat], axis=1)
-            all_i = jnp.concatenate([run_i, ids], axis=1)
-            neg, pos = jax.lax.top_k(-all_d, k)
+            neg_t, pos_t = panel_topk(-dmat, k)  # tile-local survivors first
+            ids_t = jnp.take_along_axis(ids, pos_t, axis=1)
+            all_d = jnp.concatenate([run_d, -neg_t], axis=1)
+            all_i = jnp.concatenate([run_i, ids_t], axis=1)
+            neg, pos = jax.lax.top_k(-all_d, k)  # [qb, 2k] merge stays exact
             return (-neg, jnp.take_along_axis(all_i, pos, axis=1)), None
 
         init = (jnp.full((qb, k), INF), jnp.full((qb, k), -1, jnp.int32))
@@ -116,24 +134,46 @@ def _exact_knn_device(emb: jnp.ndarray, n_real: jnp.ndarray, k: int, qb: int, ti
         ri = jnp.where(rd < INF, ri, -1)
         return carry, (ri, rd)
 
-    _, (ids, dists) = jax.lax.scan(q_block, None, jnp.arange(np_total // qb))
-    return ids.reshape(np_total, k), dists.reshape(np_total, k)
+    _, (ids, dists) = jax.lax.scan(q_block, None, jnp.arange(n_qblocks))
+    return ids.reshape(n_qblocks * qb, k), dists.reshape(n_qblocks * qb, k)
+
+
+# Above this, the knn candidate phase screens each panel with approx_max_k
+# (recall 0.99) before the exact 2k-merge; below, behavior is bit-exact.
+APPROX_KNN_MIN_N = 200_000
 
 
 def exact_knn(
-    emb: np.ndarray, k: int, query_block: int = 1024, tile: int = 131072
+    emb: np.ndarray, k: int, query_block: int = 1024, tile: int = 131072,
+    approx_recall: "float | None" = None, rows_per_dispatch: int = 131072,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Exact k-NN (squared L2) of every row against the corpus, self excluded.
-    -> (ids i32[N, k], dists f32[N, k]). One device dispatch: blocked so HBM
-    holds only [query_block, tile] distance panels."""
+    """(Near-)exact k-NN (squared L2) of every row against the corpus, self
+    excluded -> (ids i32[N, k], dists f32[N, k]). Blocked so HBM holds only
+    [query_block, tile] distance panels; chunked into ≤``rows_per_dispatch``
+    query rows per device dispatch so no single program runs long enough to
+    trip the tunnel watchdog."""
     n, _ = emb.shape
     qb = max(8, min(query_block, 1024))
     tile = max(qb, (min(tile, ((n + qb - 1) // qb) * qb) // qb) * qb)
     np_total = _bucket_rows(n, tile)
-    ids, dists = _exact_knn_device(
-        jnp.asarray(_pad_rows(emb, np_total)), jnp.int32(n), k, qb, tile
-    )
-    return np.asarray(ids)[:n], np.asarray(dists)[:n]
+    if approx_recall is None:
+        approx_recall = 0.99 if n >= APPROX_KNN_MIN_N else 1.0
+    emb_d = jnp.asarray(_pad_rows(emb, np_total))
+    # bound each dispatch to ~2e10 query×corpus pairs (~15 s on v5e) so the
+    # tunnel watchdog never sees a minutes-long program
+    pair_cap_rows = max(qb, int(2e10 / max(np_total, 1)))
+    rows_per_dispatch = max(qb, (min(rows_per_dispatch, pair_cap_rows) // qb) * qb)
+    out_i = np.empty((np_total, k), np.int32)
+    out_d = np.empty((np_total, k), np.float32)
+    for qs in range(0, np_total, rows_per_dispatch):
+        nb = min(rows_per_dispatch, np_total - qs) // qb
+        ids, dists = _exact_knn_device(
+            emb_d, jnp.int32(n), jnp.int32(qs), k, qb, tile, n_qblocks=nb,
+            approx_recall=float(approx_recall),
+        )
+        out_i[qs : qs + nb * qb] = np.asarray(ids)
+        out_d[qs : qs + nb * qb] = np.asarray(dists)
+    return out_i[:n], out_d[:n]
 
 
 # ---------------------------------------------------------------------------
@@ -273,20 +313,23 @@ def _reverse_edges_device(nbrs: jnp.ndarray, key: jnp.ndarray, cap: int) -> jnp.
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "k2", "h", "n_rand", "block")
+    jax.jit, static_argnames=("k", "k2", "h", "n_rand", "block", "n_blocks")
 )
 def _nn_descent_iter(
     ebf: jnp.ndarray,       # bf16 [Np, D]
     norms: jnp.ndarray,     # f32 [Np]
     nbrs: jnp.ndarray,      # i32 [Np, k], -1 pads
+    rev: jnp.ndarray,       # i32 [Np, k] sampled reverse edges (own dispatch)
     old_dists: jnp.ndarray, # f32 [Np, k] sorted ascending (INF on first round)
     n_real: jnp.ndarray,    # scalar i32
+    row_start: jnp.ndarray, # scalar i32 — first row of this dispatch chunk
     key: jnp.ndarray,
     k: int,
     k2: int,
     h: int,
     n_rand: int,
     block: int,
+    n_blocks: int,
 ):
     """One NN-descent round as one device program.
 
@@ -297,9 +340,7 @@ def _nn_descent_iter(
     sort took 41 s to compile at N=10K and >10 min at 50K), while scan
     bodies compile once."""
     np_total, d = ebf.shape
-    k_rev, k_hop1, k_hop2, k_rand = jax.random.split(key, 4)
-
-    rev = _reverse_edges_device(nbrs, k_rev, cap=k)
+    _, k_hop1, k_hop2, k_rand = jax.random.split(key, 4)
 
     # 2-hop seeds: the h//2 CLOSEST neighbor columns (rows are sorted by
     # distance — closest-first join is what makes NN-descent converge on
@@ -313,7 +354,7 @@ def _nn_descent_iter(
     cols2 = jax.random.permutation(k_hop2, k)[:h]
 
     def blk(carry, bi):
-        s = bi * block
+        s = row_start + bi * block
         nb = jax.lax.dynamic_slice(nbrs, (s, 0), (block, k))
         rv = jax.lax.dynamic_slice(rev, (s, 0), (block, k))
         od = jax.lax.dynamic_slice(old_dists, (s, 0), (block, k))
@@ -330,9 +371,10 @@ def _nn_descent_iter(
             [nbrs[seed_safe, :k2], rev[seed_safe, :k2]], axis=1
         ).reshape(block, 4 * h * k2)
         two = jnp.where(jnp.repeat(hop_seed < 0, 2 * k2, axis=1), -1, two)
-        # random escapes for corpora with weak cluster structure
+        # random escapes for corpora with weak cluster structure (folded on
+        # the global block index so dispatch chunks don't repeat patterns)
         rand = jax.random.randint(
-            jax.random.fold_in(k_rand, bi), (block, n_rand), 0,
+            jax.random.fold_in(k_rand, s // block), (block, n_rand), 0,
             jnp.maximum(n_real, 1), dtype=jnp.int32,
         )
         cand = jnp.concatenate([nb, rv, two, rand], axis=1)  # [B, C]
@@ -365,9 +407,9 @@ def _nn_descent_iter(
         return carry + chg, (ids_b, -neg)
 
     changed, (ids, dists) = jax.lax.scan(
-        blk, jnp.int32(0), jnp.arange(np_total // block)
+        blk, jnp.int32(0), jnp.arange(n_blocks)
     )
-    return ids.reshape(np_total, k), dists.reshape(np_total, k), changed
+    return ids.reshape(n_blocks * block, k), dists.reshape(n_blocks * block, k), changed
 
 
 def nn_descent(
@@ -413,14 +455,27 @@ def nn_descent(
     norms = jnp.sum(jnp.square(emb_p), axis=1)
     dists = jnp.asarray(_pad_rows(dists0, np_total, fill=np.float32(3.4e38)))
     base_key = jax.random.key(seed)
+    rev_jit = jax.jit(_reverse_edges_device, static_argnames=("cap",))
+    # chunk each round's row sweep so no dispatch outlives the tunnel watchdog
+    rows_per_dispatch = max(block, (131072 // block) * block)
     for it in range(n_iters):
         t0 = time.time()
-        nbrs, dists, changed = _nn_descent_iter(
-            ebf, norms, nbrs, dists, jnp.int32(n),
-            jax.random.fold_in(base_key, it),
-            k=k, k2=k2, h=h, n_rand=n_rand, block=block,
-        )
-        changed = int(np.asarray(changed))  # the only host sync per round
+        rev_key, it_key = jax.random.split(jax.random.fold_in(base_key, it))
+        rev = rev_jit(nbrs, rev_key, cap=k)
+        id_chunks, d_chunks, chgs = [], [], []
+        for s in range(0, np_total, rows_per_dispatch):
+            nb_blocks = min(rows_per_dispatch, np_total - s) // block
+            ids_c, d_c, chg = _nn_descent_iter(
+                ebf, norms, nbrs, rev, dists, jnp.int32(n), jnp.int32(s), it_key,
+                k=k, k2=k2, h=h, n_rand=n_rand, block=block, n_blocks=nb_blocks,
+            )
+            id_chunks.append(ids_c)
+            d_chunks.append(d_c)
+            chgs.append(chg)
+        # chunk outputs stay on device; one scalar sync per round
+        nbrs = id_chunks[0] if len(id_chunks) == 1 else jnp.concatenate(id_chunks)
+        dists = d_chunks[0] if len(d_chunks) == 1 else jnp.concatenate(d_chunks)
+        changed = int(np.asarray(jnp.stack(chgs).sum()))
         logger.info(
             "nn_descent iter %d: %.3f%% slots improved (%.2fs)",
             it, 100 * changed / (n * k), time.time() - t0,
@@ -435,15 +490,17 @@ def nn_descent(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("r", "alpha", "keep_closest", "block"))
+@functools.partial(jax.jit, static_argnames=("r", "alpha", "keep_closest", "block", "n_blocks"))
 def _robust_prune_device(
     ebf: jnp.ndarray,      # bf16 [Np, D]
     norms: jnp.ndarray,    # f32 [Np]
     cand: jnp.ndarray,     # i32 [Np, C] (-1 = invalid)
+    row_start: jnp.ndarray,  # scalar i32 — first row of this dispatch chunk
     r: int,
     alpha: float,
     keep_closest: int,
     block: int,
+    n_blocks: int,
 ):
     """Vamana robust prune -> selected ids i32[Np, R].
 
@@ -457,7 +514,7 @@ def _robust_prune_device(
     c = cand.shape[1]
 
     def blk(carry, bi):
-        s = bi * block
+        s = row_start + bi * block
         cid = jax.lax.dynamic_slice(cand, (s, 0), (block, c))
         pe = jax.lax.dynamic_slice(ebf, (s, 0), (block, d))
         pn = jax.lax.dynamic_slice(norms, (s,), (block,))
@@ -489,8 +546,8 @@ def _robust_prune_device(
         (_, _), sels = jax.lax.scan(step, (cid >= 0, d_pc), jnp.arange(r))
         return carry, sels.T  # [B, R]
 
-    _, out = jax.lax.scan(blk, None, jnp.arange(np_total // block))
-    return out.reshape(np_total, r)
+    _, out = jax.lax.scan(blk, None, jnp.arange(n_blocks))
+    return out.reshape(n_blocks * block, r)
 
 
 @functools.partial(jax.jit, static_argnames=("r", "alpha", "keep_closest"))
@@ -628,13 +685,20 @@ def build_graph(
     blk = max(8, (min(prune_block, int((256 << 20) / max(c * c * 4, 1))) // 8) * 8)
     np_total = _bucket_rows(n, blk)
     emb_p = jnp.asarray(_pad_rows(emb, np_total))
-    sel = _robust_prune_device(
-        emb_p.astype(jnp.bfloat16),
-        jnp.sum(jnp.square(emb_p), axis=1),
-        jnp.asarray(_pad_rows(knn_ids, np_total, fill=-1)),
-        r, float(alpha), keep_closest, blk,
-    )
-    neighbors = np.asarray(sel)[:n]
+    ebf = emb_p.astype(jnp.bfloat16)
+    nrm = jnp.sum(jnp.square(emb_p), axis=1)
+    cand_d = jnp.asarray(_pad_rows(knn_ids, np_total, fill=-1))
+    # chunk dispatches (~128K rows each) so none outlives the tunnel watchdog
+    rows_per_dispatch = max(blk, (131072 // blk) * blk)
+    neighbors = np.empty((np_total, r), np.int32)
+    for s in range(0, np_total, rows_per_dispatch):
+        nb = min(rows_per_dispatch, np_total - s) // blk
+        sel = _robust_prune_device(
+            ebf, nrm, cand_d, jnp.int32(s),
+            r, float(alpha), keep_closest, blk, n_blocks=nb,
+        )
+        neighbors[s : s + nb * blk] = np.asarray(sel)
+    neighbors = neighbors[:n]
     logger.info("build_graph prune phase: %.1fs", time.time() - t0)
 
     out = _fill_reverse_edges(neighbors, np.random.default_rng(0))
