@@ -82,7 +82,8 @@ def main():
     ap.add_argument("--graph-degree", type=int, default=32)
     ap.add_argument("--n-queries", type=int, default=64)
     ap.add_argument("--backend", default="diskann", choices=["diskann", "hnsw"])
-    ap.add_argument("--complexity", type=int, default=120)
+    ap.add_argument("--complexity", type=int, default=256)
+    ap.add_argument("--beam-width", type=int, default=16)
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -108,11 +109,11 @@ def main():
     s = LeannSearcher(prefix)
     q_idx = rng.choice(len(chunks), args.n_queries, replace=False)
     queries = [" ".join(chunks[i].split()[:12]) for i in q_idx]
-    kw = dict(top_k=3, complexity=args.complexity, beam_width=8, n_entries=64)
+    kw = dict(top_k=3, complexity=args.complexity, beam_width=args.beam_width, n_entries=128)
     if args.backend == "hnsw":
         kw["prune_ratio"] = 0.75  # PQ-screened per-hop recompute
     else:
-        kw["rerank_size"] = 32  # PQ traversal + one deferred exact rerank
+        kw["rerank_size"] = 64  # PQ traversal + one deferred exact rerank
     s.search(queries[0], **kw)
     lat, labels = [], []
     for q in queries:

@@ -65,8 +65,12 @@ def _entry_pool(medoid: int, n: int, has_screen: bool) -> np.ndarray:
     """Entry pool — the TPU-static replacement for HNSW's upper hierarchy
     layers. When the searcher can cheaply screen candidates per query (stored
     embeddings or PQ codes), store a large strided pool and let the query pick
-    its n_entries best seeds; otherwise fall back to a small fixed set."""
-    count = min(n, ENTRY_POOL_SIZE) if has_screen else N_ENTRY_POINTS
+    its n_entries best seeds; otherwise fall back to a small fixed set. The
+    pool grows as n/16 (capped 32K) so seed coverage doesn't wash out at
+    large N — the ADC screen over the pool is a negligible on-chip gather."""
+    if not has_screen:
+        return _entry_points(medoid, n, N_ENTRY_POINTS)
+    count = min(n, max(ENTRY_POOL_SIZE, min(n // 16, 32768)))
     return _entry_points(medoid, n, count)
 
 

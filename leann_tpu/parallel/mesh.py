@@ -35,3 +35,11 @@ def graph_mesh(n_devices: Optional[int] = None) -> Mesh:
     devices = jax.devices()
     n = n_devices or len(devices)
     return make_mesh([("gp", n)], devices)
+
+
+def serving_mesh(dp: int, gp: int) -> Mesh:
+    """(dp, gp) mesh for serving scale-out: the index is sharded over ``gp``
+    and replicated over ``dp``; the query batch splits over ``dp`` so
+    throughput scales with dp while each query still searches the full
+    gp-sharded graph."""
+    return make_mesh([("dp", dp), ("gp", gp)])

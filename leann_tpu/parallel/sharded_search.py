@@ -242,14 +242,18 @@ def pad_rows(a: np.ndarray, n_pad: int, fill) -> np.ndarray:
 
 
 class ShardedSearcher:
-    """Places index shards over a ``gp`` mesh and runs the SPMD beam search."""
+    """Places index shards over the ``gp`` axis of ``mesh`` and runs the SPMD
+    beam search. A mesh with an additional ``dp`` axis (parallel/mesh.py
+    ``serving_mesh``) splits the query batch over ``dp`` — serving throughput
+    scales with dp while the index stays sharded (replicated across dp)."""
 
     def __init__(self, mesh: Mesh, neighbors: np.ndarray, *, entries: np.ndarray,
                  emb: Optional[np.ndarray] = None, tokens: Optional[np.ndarray] = None,
                  lengths: Optional[np.ndarray] = None, codes: Optional[np.ndarray] = None,
                  codebooks: Optional[np.ndarray] = None):
         self.mesh = mesh
-        ndev = mesh.devices.size
+        self.dp = int(mesh.shape.get("dp", 1))
+        ndev = int(mesh.shape["gp"])
         n = neighbors.shape[0]
         n_pad = ((n + ndev - 1) // ndev) * ndev
         self.n = n
@@ -278,12 +282,13 @@ class ShardedSearcher:
         """q [B, D] -> (labels [B, k], dists [B, k]); results drop padding ids."""
         if cfg.traversal == "recompute" and keep_local <= 0:
             # sharded recompute always PQ-screens; default: full per-hop budget
-            # split evenly across devices
+            # split evenly across the graph shards
             f = cfg.beam * int(self.g.neighbors.shape[1])
-            keep_local = max(1, f // self.mesh.devices.size)
+            keep_local = max(1, f // int(self.mesh.shape["gp"]))
         key = (cfg, keep_local)
         if key not in self._jitted:
             mesh = self.mesh
+            qspec = P("dp") if self.dp > 1 else P()
             gspec = ShardedGraph(
                 neighbors=P("gp", None), entry_ids=P(), emb=P("gp", None),
                 tokens=P("gp", None), lengths=P("gp"), codes=P("gp", None), codebooks=P(),
@@ -295,8 +300,8 @@ class ShardedSearcher:
                         lambda qi: _sharded_search_one(qi, gg, cfg, ep, keep_local)
                     )(qq),
                     mesh=mesh,
-                    in_specs=(P(), gspec, P()),
-                    out_specs=(P(), P()),
+                    in_specs=(qspec, gspec, P()),
+                    out_specs=(qspec, qspec),
                     check_vma=False,
                 )
                 labels, dists = body(q, g, enc_params)
@@ -305,6 +310,11 @@ class ShardedSearcher:
             self._jitted[key] = jax.jit(fn)
         if enc_params is None:
             enc_params = {"_": jnp.zeros((1,), jnp.float32)}
+        q = np.ascontiguousarray(q, dtype=np.float32)
+        real_b = q.shape[0]
+        if self.dp > 1 and real_b % self.dp:  # dp splits the batch evenly
+            q = np.concatenate([q, np.zeros((self.dp - real_b % self.dp, q.shape[1]), np.float32)])
         labels, dists = unpack_results(self._jitted[key](jnp.asarray(q), self.g, enc_params))
+        labels, dists = labels[:real_b], dists[:real_b]
         labels = np.where(labels >= self.n, -1, labels)  # padding rows
         return labels, dists

@@ -115,3 +115,29 @@ class TestContrastiveTrainer:
         losses = [trainer.train_step(q_ids, q_mask, d_ids, d_mask) for _ in range(8)]
         assert losses[-1] < losses[0]
         assert np.isfinite(losses).all()
+
+
+class TestServingMesh:
+    def test_dp_sharded_queries_match_gp_only(self, rng):
+        from leann_tpu.ops.graph import build_graph
+        from leann_tpu.ops.beam_search import BeamConfig
+        from leann_tpu.parallel.mesh import graph_mesh, serving_mesh
+        from leann_tpu.parallel.sharded_search import ShardedSearcher
+
+        n, d = 256, 32
+        emb = rng.standard_normal((n, d)).astype(np.float32)
+        g, medoid = build_graph(emb, r=8)
+        entries = np.asarray([medoid] + list(range(0, n, n // 8)), np.int32)
+        cfg = BeamConfig(metric="l2", k=5, complexity=32, beam=4, max_steps=32, traversal="stored")
+        q = rng.standard_normal((6, d)).astype(np.float32)  # 6 % dp(2) == 0
+
+        ss_gp = ShardedSearcher(graph_mesh(4), g, entries=entries, emb=emb)
+        l_gp, d_gp = ss_gp.search(q, cfg)
+        ss_dp = ShardedSearcher(serving_mesh(dp=2, gp=4), g, entries=entries, emb=emb)
+        l_dp, d_dp = ss_dp.search(q, cfg)
+        np.testing.assert_array_equal(l_gp, l_dp)
+        np.testing.assert_allclose(d_gp, d_dp, rtol=1e-4, atol=1e-4)
+
+        # ragged batch (5 % 2 != 0) pads internally and trims back
+        l5, _ = ss_dp.search(q[:5], cfg)
+        np.testing.assert_array_equal(l5, l_gp[:5])
