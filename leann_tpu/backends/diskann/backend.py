@@ -41,7 +41,7 @@ from ...ops.beam_search import (
     unpack_results,
 )
 from ...ops.graph import build_graph
-from ...ops.pq import choose_m, encode_pq_blocked, train_pq
+from ...ops.pq import choose_m, encode_pq_blocked, train_opq, train_pq
 from ...registry import register_backend
 from ..common import BaseSearcher, pad_batch_rows, save_ids
 from ..hnsw.backend import _entry_pool
@@ -60,6 +60,7 @@ class DiskannBuilder(LeannBackendBuilderInterface):
         complexity: int = 64,  # reference build complexity
         alpha: float = 1.2,
         pq_subspaces: int = 0,
+        pq_rotate: bool = True,  # OPQ rotation (ops/pq.py train_opq)
         num_partitions: int = 0,  # 0 = auto (device count), parity: LDG gp
         partition_passes: int = 10,  # reference gp_times=10
         **kwargs,
@@ -70,6 +71,7 @@ class DiskannBuilder(LeannBackendBuilderInterface):
         self.complexity = complexity
         self.alpha = alpha
         self.pq_subspaces = pq_subspaces
+        self.pq_rotate = pq_rotate
         self.num_partitions = num_partitions
         self.partition_passes = partition_passes
 
@@ -100,7 +102,7 @@ class DiskannBuilder(LeannBackendBuilderInterface):
         self._permute_tokens(index_path, order)
 
         m = choose_m(d, self.pq_subspaces)
-        codebooks = train_pq(data, m=m)
+        codebooks = (train_opq if self.pq_rotate else train_pq)(data, m=m)
         codes = encode_pq_blocked(data, codebooks)
         payload = {
             "neighbors": neighbors,

@@ -44,7 +44,7 @@ from ...ops.beam_search import (
     unpack_results,
 )
 from ...ops.graph import build_graph
-from ...ops.pq import choose_m, encode_pq_blocked, train_pq
+from ...ops.pq import choose_m, encode_pq_blocked, train_opq, train_pq
 from ...registry import register_backend
 from ..common import BaseSearcher, pad_batch_rows, save_ids
 
@@ -84,6 +84,7 @@ class HnswBuilder(LeannBackendBuilderInterface):
         efConstruction: int = 128,  # build candidate budget
         alpha: float = 1.2,
         pq_subspaces: int = 0,  # 0 = auto (~D/8)
+        pq_rotate: bool = True,  # OPQ rotation (ops/pq.py train_opq)
         **kwargs,
     ):
         self.distance_metric = distance_metric
@@ -93,6 +94,7 @@ class HnswBuilder(LeannBackendBuilderInterface):
         self.ef_construction = efConstruction
         self.alpha = alpha
         self.pq_subspaces = pq_subspaces
+        self.pq_rotate = pq_rotate
 
     def build(self, data: np.ndarray, ids: list, index_path: str, **kwargs) -> None:
         data = np.ascontiguousarray(data, dtype=np.float32)
@@ -110,7 +112,8 @@ class HnswBuilder(LeannBackendBuilderInterface):
         # PQ codes steer pruned expansion whenever recompute is on
         if self.is_recompute and n >= 4:
             m = choose_m(d, self.pq_subspaces)
-            codebooks = train_pq(data, m=m)
+            train = train_opq if self.pq_rotate else train_pq
+            codebooks = train(data, m=m)
             payload["codebooks"] = codebooks
             payload["codes"] = encode_pq_blocked(data, codebooks)
         if not self.is_compact:

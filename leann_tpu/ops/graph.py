@@ -98,10 +98,23 @@ def _exact_knn_device(emb: jnp.ndarray, n_real: jnp.ndarray, q_start: jnp.ndarra
         ~140 ms and dominates the whole O(N²) pass (matmuls are ~1%);
         approx_max_k uses the TPU PartialReduce unit and is ~an order faster —
         0.99 recall is irrelevant noise for *candidate generation* feeding the
-        α-prune."""
+        α-prune. The exact path is two-stage: TPU top_k lowers to a row sort
+        whose cost grows superlinearly in row width, so per-segment top-k over
+        1024-wide rows + an exact merge of the segment winners is several
+        times cheaper than one sort of the full panel and returns bit-equal
+        results (every global top-k entry is in its segment's top-k)."""
         if approx_recall < 1.0:
             return jax.lax.approx_max_k(neg_d, k, recall_target=approx_recall)
-        return jax.lax.top_k(neg_d, k)
+        qb_, w = neg_d.shape
+        seg = 1024
+        if w <= 2 * seg or w % seg:
+            return jax.lax.top_k(neg_d, k)
+        n_seg = w // seg
+        kseg = min(k, seg)
+        sv, si = jax.lax.top_k(neg_d.reshape(qb_, n_seg, seg), kseg)
+        si = si + jax.lax.broadcasted_iota(jnp.int32, si.shape, 1) * seg
+        fv, fp = jax.lax.top_k(sv.reshape(qb_, n_seg * kseg), k)
+        return fv, jnp.take_along_axis(si.reshape(qb_, n_seg * kseg), fp, axis=1)
 
     def q_block(carry, qi):
         qs = q_start + qi * qb

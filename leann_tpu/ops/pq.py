@@ -10,6 +10,25 @@ Layout: D is split into M subspaces of ds dims; each subspace has K=256
 centroids. Codes are ``u8[N, M]``; codebooks ``f32[M, K, ds]``. Training is
 Lloyd's k-means vmapped across subspaces (one batched distance matmul per
 iteration — MXU-friendly).
+
+OPQ (:func:`train_opq`) learns an orthogonal rotation R jointly with the
+codebooks (Ge et al., CVPR'13 "Optimized Product Quantization", the
+non-parametric alternation) to break the axis-aligned subspace assumption
+that caps plain-PQ recall on anisotropic embeddings. Rather than storing R
+and rotating every query, we store **lifted codebooks** ``B f32[M, K, D]``
+with ``B[m, k] = R_m @ c[m, k]`` (centroids mapped back to input space,
+``R_m`` = the m-th ds-column block of R). Because R is orthogonal:
+
+- L2:   ||qR − recon||² = ||q||² − 2 q·ΣB[m, code_m] + Σ||c||²  — computable
+        from q and B alone (the ||q||²/M term keeps ADC on the same absolute
+        scale as exact distances, which the recompute screen mixes into one
+        candidate pool, ops/beam_search.py:126).
+- MIPS: (qR)·c = q·B — identical form.
+- encode: argmin_k ||xR_m − c||² = argmin_k (||B[m,k]||² − 2 x·B[m,k]).
+
+So the lifted tensor is the complete artifact — no rotation matrix in the
+index, and :func:`adc_lut` / :func:`encode_pq` dispatch on shape
+(``M·ds == D`` → plain; ``last dim == D`` → lifted).
 """
 
 from __future__ import annotations
@@ -52,6 +71,15 @@ def _kmeans_subspace(x: jnp.ndarray, init: jnp.ndarray, n_iters: int) -> jnp.nda
     return c
 
 
+@functools.partial(jax.jit, static_argnames=("n_iters",))
+def _kmeans_all_subspaces(xs: jnp.ndarray, init: jnp.ndarray, n_iters: int) -> jnp.ndarray:
+    """xs [M, S, ds], init [M, K, ds] -> [M, K, ds]. Top-level jit so the
+    compiled program lands in the persistent compile cache — a bare
+    ``vmap(_kmeans_subspace)`` executes outside any jit entry point and its
+    (multi-minute, axon) compilation is re-paid by every fresh process."""
+    return jax.vmap(lambda xx, ii: _kmeans_subspace(xx, ii, n_iters))(xs, init)
+
+
 def train_pq(
     x: np.ndarray, m: int = 0, k: int = 256, n_iters: int = 10, sample: int = 65536, seed: int = 0
 ) -> np.ndarray:
@@ -66,7 +94,7 @@ def train_pq(
     k_eff = min(k, xs.shape[1])
     init_idx = rng.choice(xs.shape[1], k_eff, replace=False)
     init = xs[:, init_idx, :]  # [M, K, ds]
-    cb = jax.vmap(lambda xx, ii: _kmeans_subspace(xx, ii, n_iters))(xs, init)
+    cb = _kmeans_all_subspaces(xs, init, n_iters)
     if k_eff < k:  # pad to fixed K so codes stay u8-addressable
         pad = jnp.tile(cb[:, :1, :], (1, k - k_eff, 1)) + 1e6
         cb = jnp.concatenate([cb, pad], axis=1)
@@ -75,8 +103,17 @@ def train_pq(
 
 @jax.jit
 def encode_pq(x: jnp.ndarray, codebooks: jnp.ndarray) -> jnp.ndarray:
-    """x [B, D], codebooks [M, K, ds] -> codes u8[B, M]."""
+    """x [B, D], codebooks [M, K, ds] (plain) or [M, K, D] (lifted OPQ)
+    -> codes u8[B, M]."""
     m, k, ds = codebooks.shape
+    if m * ds != x.shape[1]:  # lifted: argmin_k ||B||^2 - 2 x.B
+        dots = jax.lax.dot_general(
+            x, codebooks.reshape(m * k, -1),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(x.shape[0], m, k)
+        d = jnp.sum(jnp.square(codebooks), axis=-1)[None] - 2.0 * dots  # [B, M, K]
+        return jnp.argmin(d, axis=2).astype(jnp.uint8)
     xs = x.reshape(x.shape[0], m, ds).transpose(1, 0, 2)  # [M, B, ds]
 
     def sub(xm, cm):
@@ -91,6 +128,70 @@ def encode_pq(x: jnp.ndarray, codebooks: jnp.ndarray) -> jnp.ndarray:
     return codes.T.astype(jnp.uint8)
 
 
+@functools.partial(jax.jit, static_argnames=("n_kmeans",))
+def _opq_iter(x: jnp.ndarray, r: jnp.ndarray, cb: jnp.ndarray, n_kmeans: int):
+    """One OPQ-NP alternation step (rotation fixed): refine codebooks on the
+    rotated sample, then return X^T @ recon for the host-side Procrustes SVD.
+    x [S, D], r [D, D], cb [M, K, ds] -> (cb', XtY [D, D], mse)."""
+    s, d = x.shape
+    m, k, ds = cb.shape
+    xr = jnp.dot(x, r, preferred_element_type=jnp.float32)  # [S, D]
+    xs = xr.reshape(s, m, ds).transpose(1, 0, 2)  # [M, S, ds]
+    cb = jax.vmap(lambda xm, cm: _kmeans_subspace(xm, cm, n_kmeans))(xs, cb)
+
+    def assign(xm, cm):  # nearest-centroid codes per subspace
+        dist = (
+            jnp.sum(xm * xm, axis=1, keepdims=True)
+            - 2.0 * jnp.dot(xm, cm.T, preferred_element_type=jnp.float32)
+            + jnp.sum(cm * cm, axis=1)[None, :]
+        )
+        return jnp.argmin(dist, axis=1)
+
+    codes = jax.vmap(assign)(xs, cb)  # [M, S]
+    recon = jnp.take_along_axis(cb, codes[:, :, None], axis=1)  # [M, S, ds]
+    y = recon.transpose(1, 0, 2).reshape(s, d)  # [S, D] rotated-space recon
+    xty = jnp.dot(x.T, y, preferred_element_type=jnp.float32)  # [D, D]
+    mse = jnp.mean(jnp.sum(jnp.square(xr - y), axis=1))
+    return cb, xty, mse
+
+
+def train_opq(
+    x: np.ndarray, m: int = 0, k: int = 256, n_iters: int = 10, opq_iters: int = 8,
+    sample: int = 65536, seed: int = 0,
+) -> np.ndarray:
+    """OPQ-NP: alternate per-subspace k-means with the Procrustes update
+    R = U V^T of SVD(X^T Y) (Ge et al. CVPR'13, non-parametric OPQ).
+    Returns **lifted** codebooks f32[M, K, D] (module docstring) — drop-in
+    for plain codebooks everywhere downstream. Replaces the recall the
+    reference leaves on the table with faiss/DiskANN's axis-aligned PQ
+    (_pq_pivots.bin, diskann_backend.py:151-208)."""
+    n, d = x.shape
+    m = choose_m(d, m)
+    ds = d // m
+    rng = np.random.default_rng(seed)
+    if n > sample:
+        x = x[rng.choice(n, sample, replace=False)]
+    xd = jnp.asarray(x, jnp.float32)
+    r = jnp.eye(d, dtype=jnp.float32)  # identity init: starts at plain PQ
+    k_eff = min(k, x.shape[0])
+    init_idx = rng.choice(x.shape[0], k_eff, replace=False)
+    cb = jnp.asarray(x[init_idx].reshape(k_eff, m, ds).transpose(1, 0, 2))  # [M, K, ds]
+    for it in range(opq_iters):
+        # early iterations: few k-means refinements (centroids chase the
+        # moving rotation); final pass: full-budget polish
+        cb, xty, _ = _opq_iter(xd, r, cb, n_kmeans=(n_iters if it == opq_iters - 1 else 3))
+        if it < opq_iters - 1:  # Procrustes on host: D x D SVD is tiny
+            u, _, vt = np.linalg.svd(np.asarray(xty))
+            r = jnp.asarray((u @ vt).astype(np.float32))
+    # lift: B[m, k] = R_m @ c[m, k], R_m = ds-column block m of R
+    r_blocks = np.asarray(r).reshape(d, m, ds).transpose(1, 0, 2)  # [M, D, ds]
+    b = jnp.einsum("mds,mks->mkd", jnp.asarray(r_blocks), cb)
+    b = np.asarray(b)
+    if k_eff < k:  # pad to fixed K so codes stay u8-addressable
+        b = np.concatenate([b, np.tile(b[:, :1], (1, k - k_eff, 1)) + 1e6], axis=1)
+    return b
+
+
 def encode_pq_blocked(x: np.ndarray, codebooks: np.ndarray, block: int = 16384) -> np.ndarray:
     cb = jnp.asarray(codebooks)
     out = np.empty((x.shape[0], codebooks.shape[0]), dtype=np.uint8)
@@ -101,8 +202,17 @@ def encode_pq_blocked(x: np.ndarray, codebooks: np.ndarray, block: int = 16384) 
 
 def adc_lut(q: jnp.ndarray, codebooks: jnp.ndarray, metric: str) -> jnp.ndarray:
     """Per-query ADC table: q [D] -> lut f32[M, K] such that
-    dist(q, x) ≈ sum_m lut[m, code[x, m]] (lower = closer)."""
+    dist(q, x) ≈ sum_m lut[m, code[x, m]] (lower = closer). Codebooks may be
+    plain [M, K, ds] or lifted OPQ [M, K, D] (see module docstring)."""
     m, k, ds = codebooks.shape
+    if m * ds != q.shape[-1]:  # lifted
+        dots = jnp.dot(codebooks.reshape(m * k, -1), q,
+                       preferred_element_type=jnp.float32).reshape(m, k)
+        if metric in ("mips", "cosine"):
+            return -dots
+        # + ||q||^2/M so sum_m lut = full ||qR - recon||^2 (absolute scale)
+        return (jnp.sum(jnp.square(codebooks), axis=-1) - 2.0 * dots
+                + jnp.sum(jnp.square(q)) / m)
     qs = q.reshape(m, 1, ds)
     if metric in ("mips", "cosine"):
         return -jnp.sum(qs * codebooks, axis=-1)  # [M, K]

@@ -69,6 +69,70 @@ class TestPQ:
         assert codes.shape == (500, cb.shape[0])
 
 
+class TestOPQ:
+    """OPQ (train_opq) lifted codebooks: f32[M, K, D], shape-polymorphic
+    encode/lut, absolute-scale L2 ADC, recall >= plain PQ on rotated data."""
+
+    def _aniso(self, rng, n=4000, d=32):
+        # decaying spectrum rotated off-axis: plain PQ's worst case
+        spec = np.exp(-np.arange(d) / 4.0)
+        basis, _ = np.linalg.qr(rng.standard_normal((d, d)))
+        return ((rng.standard_normal((n, d)) * spec) @ basis.T).astype(np.float32)
+
+    def test_lifted_shapes_and_adc_scale(self, rng):
+        import jax.numpy as jnp
+        from leann_tpu.ops.pq import adc_distances, adc_lut, encode_pq_blocked, train_opq
+
+        emb = self._aniso(rng)
+        cb = train_opq(emb, m=8, n_iters=6, opq_iters=4, sample=2048)
+        assert cb.shape == (8, 256, 32)  # lifted: last dim = D
+        codes = encode_pq_blocked(emb, cb)
+        assert codes.dtype == np.uint8 and codes.shape == (emb.shape[0], 8)
+        q = emb[7]
+        lut = adc_lut(jnp.asarray(q), jnp.asarray(cb), "l2")
+        ad = np.asarray(adc_distances(jnp.asarray(codes[:200].astype(np.int32)), lut))
+        # input-space reconstruction = sum_m B[m, code_m]; ADC must equal
+        # ||q - recon||^2 exactly (up to fp) -> safe to pool with exact dists
+        rec = np.sum(np.stack([cb[m][codes[:200, m]] for m in range(8)], 0), 0)
+        true = ((q[None] - rec) ** 2).sum(-1)
+        np.testing.assert_allclose(ad, true, rtol=1e-3, atol=1e-2)
+
+    def test_opq_beats_plain_pq_on_anisotropic(self, rng):
+        import jax.numpy as jnp
+        from leann_tpu.ops.pq import adc_distances, adc_lut, encode_pq_blocked, train_opq, train_pq
+
+        emb = self._aniso(rng)
+        cb_p = train_pq(emb, m=8, n_iters=6, sample=2048)
+        cb_o = train_opq(emb, m=8, n_iters=6, opq_iters=4, sample=2048)
+
+        def recall10(cb):
+            codes = encode_pq_blocked(emb, cb)
+            hits = 0
+            for qi in range(0, 200, 10):
+                q = emb[qi]
+                lut = adc_lut(jnp.asarray(q), jnp.asarray(cb), "l2")
+                ad = np.asarray(adc_distances(jnp.asarray(codes.astype(np.int32)), lut))
+                approx = set(np.argsort(ad)[:10].tolist())
+                exact = set(np.argsort(((emb - q) ** 2).sum(-1))[:10].tolist())
+                hits += len(approx & exact)
+            return hits / 200
+
+        assert recall10(cb_o) >= recall10(cb_p)
+
+    def test_mips_lut_matches_reconstruction(self, rng):
+        import jax.numpy as jnp
+        from leann_tpu.ops.pq import adc_distances, adc_lut, encode_pq_blocked, train_opq
+
+        emb = self._aniso(rng)
+        cb = train_opq(emb, m=4, n_iters=4, opq_iters=3, sample=2048)
+        codes = encode_pq_blocked(emb, cb)
+        q = emb[3]
+        lut = adc_lut(jnp.asarray(q), jnp.asarray(cb), "mips")
+        ad = np.asarray(adc_distances(jnp.asarray(codes[:100].astype(np.int32)), lut))
+        rec = np.sum(np.stack([cb[m][codes[:100, m]] for m in range(4)], 0), 0)
+        np.testing.assert_allclose(ad, -(rec @ q), rtol=1e-3, atol=1e-3)
+
+
 class TestGraphBuild:
     def test_graph_degree_and_validity(self, rng):
         from leann_tpu.ops.graph import build_graph
