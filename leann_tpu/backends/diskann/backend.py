@@ -116,6 +116,9 @@ class DiskannBuilder(LeannBackendBuilderInterface):
         }
         if not self.is_recompute:
             payload["embeddings"] = data
+        else:
+            # pool embeddings (f16, ~3% of rows): exact MXU seed screening
+            payload["entry_emb"] = data[payload["entries"]].astype(np.float16)
         np.savez(f"{index_path}.diskann.npz", **payload)
         np.save(f"{index_path}.partition.npy", assign)
         logger.info(
@@ -153,6 +156,7 @@ class DiskannSearcher(BaseSearcher, LeannBackendSearcherInterface):
         self.codes = jnp.asarray(z["codes"])
         self.codebooks = jnp.asarray(z["codebooks"])
         self.emb = jnp.asarray(z["embeddings"]) if "embeddings" in z else dummy
+        self.entry_emb = jnp.asarray(z["entry_emb"], jnp.bfloat16) if "entry_emb" in z else None
         tok = self.load_tokens()
         if tok is not None:
             self.tokens = jnp.asarray(tok[0])
@@ -179,6 +183,7 @@ class DiskannSearcher(BaseSearcher, LeannBackendSearcherInterface):
                 lengths=tok[1] if tok else None,
                 codes=np.asarray(z["codes"]),
                 codebooks=np.asarray(z["codebooks"]),
+                entry_emb=np.asarray(z["entry_emb"], np.float32) if "entry_emb" in z else None,
             )
             logger.info("diskann searcher sharded over %d devices", mesh.devices.size)
 
@@ -297,6 +302,7 @@ class DiskannSearcher(BaseSearcher, LeannBackendSearcherInterface):
             lengths=self.lengths,
             codes=self.codes,
             codebooks=self.codebooks,
+            entry_emb=self.entry_emb,
         )
 
 

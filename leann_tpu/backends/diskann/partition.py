@@ -15,18 +15,85 @@ several passes (reference default gp_times=10).
 
 from __future__ import annotations
 
+import ctypes
 import logging
+import os
+import subprocess
+import threading
 
 import numpy as np
 
 logger = logging.getLogger(__name__)
 
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))), "csrc")
+_LIB_PATH = os.path.join(_CSRC, "libldg_partition.so")
+_lib_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def _load_lib():
+    """Build-on-demand ctypes loader (same pattern as runtime/passage_store)."""
+    global _lib, _build_failed
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not os.path.exists(_LIB_PATH):
+            if not os.path.exists(os.path.join(_CSRC, "ldg_partition.cpp")):
+                _build_failed = True
+                return None
+            try:
+                subprocess.run(["make", "-C", _CSRC, "libldg_partition.so"],
+                               check=True, capture_output=True, timeout=120)
+            except (subprocess.CalledProcessError, subprocess.TimeoutExpired, FileNotFoundError) as e:
+                logger.warning("native LDG build failed (%s); using Python fallback", e)
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.ldg_partition.restype = ctypes.c_int
+            lib.ldg_partition.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+        except (OSError, AttributeError) as e:
+            logger.warning("could not load %s: %s", _LIB_PATH, e)
+            _build_failed = True
+            return None
+        _lib = lib
+        return _lib
+
 
 def ldg_partition(neighbors: np.ndarray, n_parts: int, passes: int = 10, seed: int = 0) -> np.ndarray:
-    """neighbors i32[N, R] (-1 padded) -> part id i32[N], balanced."""
+    """neighbors i32[N, R] (-1 padded) -> part id i32[N], balanced.
+
+    Dispatches to the native core (csrc/ldg_partition.cpp — the reference's
+    ``partitioner`` exe equivalent, graph_partition.py:174-204) and falls
+    back to the pure-Python sweep below when the toolchain is unavailable."""
     n = neighbors.shape[0]
     if n_parts <= 1:
         return np.zeros(n, np.int32)
+    lib = _load_lib()
+    if lib is not None:
+        nb = np.ascontiguousarray(neighbors, dtype=np.int32)
+        out = np.empty(n, np.int32)
+        rc = lib.ldg_partition(
+            nb.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int64(n), ctypes.c_int64(nb.shape[1]),
+            ctypes.c_int32(n_parts), ctypes.c_int32(passes), ctypes.c_uint64(seed),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if rc >= 0:
+            return out
+        logger.warning("native LDG returned %d; using Python fallback", rc)
+    return _ldg_partition_py(neighbors, n_parts, passes, seed)
+
+
+def _ldg_partition_py(neighbors: np.ndarray, n_parts: int, passes: int = 10, seed: int = 0) -> np.ndarray:
+    n = neighbors.shape[0]
     cap = int(np.ceil(n / n_parts)) + 1
     rng = np.random.default_rng(seed)
     assign = rng.integers(0, n_parts, size=n).astype(np.int32)

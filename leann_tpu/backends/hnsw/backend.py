@@ -120,6 +120,9 @@ class HnswBuilder(LeannBackendBuilderInterface):
             payload["embeddings"] = data  # non-compact keeps the matrix
         has_screen = (not self.is_compact) or ("codes" in payload)
         payload["entries"] = _entry_pool(medoid, n, has_screen)
+        if self.is_compact and payload["entries"].shape[0] > N_ENTRY_POINTS:
+            # pool embeddings (f16, ~3% of rows): exact MXU seed screening
+            payload["entry_emb"] = data[payload["entries"]].astype(np.float16)
         np.savez(f"{index_path}.hnsw.npz", **payload)
         save_ids(index_path, ids)
         logger.info("hnsw build: N=%d D=%d R=%d compact=%s", n, d, self.m, self.is_compact)
@@ -142,6 +145,7 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
         self.emb = jnp.asarray(z["embeddings"]) if "embeddings" in z else dummy
         self.codes = jnp.asarray(z["codes"]) if "codes" in z else jnp.zeros((1, 1), jnp.uint8)
         self.codebooks = jnp.asarray(z["codebooks"]) if "codebooks" in z else dummy
+        self.entry_emb = jnp.asarray(z["entry_emb"], jnp.bfloat16) if "entry_emb" in z else None
         self.has_pq = "codes" in z
         tok = self.load_tokens()
         if tok is not None:
@@ -177,6 +181,7 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
             lengths=tok[1] if tok else None,
             codes=np.asarray(z["codes"]) if "codes" in z else None,
             codebooks=np.asarray(z["codebooks"]) if "codebooks" in z else None,
+            entry_emb=np.asarray(z["entry_emb"], np.float32) if "entry_emb" in z else None,
         )
         logger.info("hnsw searcher sharded over %d devices", mesh.devices.size)
 
@@ -198,6 +203,7 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
             lengths=self.lengths,
             codes=self.codes,
             codebooks=self.codebooks,
+            entry_emb=self.entry_emb,
         )
 
     def _make_cfg(
@@ -365,6 +371,10 @@ def insert_hnsw(index_path: str, new_emb: np.ndarray, ef: int = 64, alpha: float
         step = max(1, new_emb.shape[0] // max(room, 1))
         extra = np.arange(n_old, n_old + new_emb.shape[0], step, dtype=np.int32)[:room]
         z["entries"] = np.concatenate([z["entries"], extra])
+        if "entry_emb" in z:  # keep pool embeddings row-aligned with entries
+            z["entry_emb"] = np.concatenate(
+                [z["entry_emb"], new_emb[extra - n_old].astype(z["entry_emb"].dtype)]
+            )
     np.savez(path, **z)
     logger.info("hnsw insert: %d -> %d nodes (%d rows repaired)",
                 n_old, neighbors.shape[0], touched.size)

@@ -87,6 +87,12 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--code-chunk-size", type=int, default=512)
     b.add_argument("--code-chunk-overlap", type=int, default=64)
     b.add_argument("--use-ast-chunking", action="store_true")
+    b.add_argument("--ast-chunk-size", type=int, default=0,
+                   help="AST chunk size (0 = use --code-chunk-size)")
+    b.add_argument("--ast-chunk-overlap", type=int, default=-1,
+                   help="AST chunk overlap (-1 = use --code-chunk-overlap)")
+    b.add_argument("--ast-fallback-traditional", action="store_true", default=True,
+                   help="fall back to traditional chunking when AST parse fails (default on)")
     b.add_argument("--file-types", nargs="+", default=None)
     b.add_argument("--include-hidden", action="store_true")
     b.add_argument("--no-gitignore", action="store_true")
@@ -154,8 +160,10 @@ def cmd_build(args) -> int:
         return 1
     chunks = create_text_chunks(
         docs, chunk_size=args.doc_chunk_size, chunk_overlap=args.doc_chunk_overlap,
-        use_ast_chunking=args.use_ast_chunking, ast_chunk_size=args.code_chunk_size,
-        ast_chunk_overlap=args.code_chunk_overlap,
+        use_ast_chunking=args.use_ast_chunking,
+        ast_chunk_size=args.ast_chunk_size or args.code_chunk_size,
+        ast_chunk_overlap=(args.ast_chunk_overlap if args.ast_chunk_overlap >= 0
+                           else args.code_chunk_overlap),
     )
     print(f"Loaded {len(docs)} documents -> {len(chunks)} chunks")
     bk = {}

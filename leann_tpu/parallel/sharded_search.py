@@ -56,6 +56,7 @@ class ShardedGraph(NamedTuple):
     lengths: jnp.ndarray  # i32[N]      P(gp)      | dummy
     codes: jnp.ndarray  # u8[N, M]    P(gp, None) | dummy
     codebooks: jnp.ndarray  # f32[M,K,ds] replicated
+    entry_emb: jnp.ndarray  # bf16[E, D] replicated | dummy (1,1) — exact seed screen
 
 
 def _psum_rows_i32(local_vals, owned, axis):
@@ -147,6 +148,8 @@ def _sharded_search_one(q, g: ShardedGraph, cfg: BeamConfig, enc_params, keep_lo
         ones = jnp.ones((pool.shape[0],), bool)
         if cfg.traversal == "stored":
             pd = stored_dists(pool, ones)
+        elif g.entry_emb.shape[0] == pool.shape[0] and g.entry_emb.shape[1] == q.shape[-1]:
+            pd = _local_metric_dists(q, g.entry_emb, cfg.metric)  # exact, replicated
         elif g.codes.shape[1] > 1 or g.codebooks.shape[0] > 1:
             plut = lut if lut is not None else adc_lut(q, g.codebooks, cfg.metric)
             li, owned = local_ids(pool)
@@ -250,7 +253,8 @@ class ShardedSearcher:
     def __init__(self, mesh: Mesh, neighbors: np.ndarray, *, entries: np.ndarray,
                  emb: Optional[np.ndarray] = None, tokens: Optional[np.ndarray] = None,
                  lengths: Optional[np.ndarray] = None, codes: Optional[np.ndarray] = None,
-                 codebooks: Optional[np.ndarray] = None):
+                 codebooks: Optional[np.ndarray] = None,
+                 entry_emb: Optional[np.ndarray] = None):
         self.mesh = mesh
         self.dp = int(mesh.shape.get("dp", 1))
         ndev = int(mesh.shape["gp"])
@@ -275,6 +279,11 @@ class ShardedSearcher:
             else jax.device_put(np.zeros((ndev,), np.int32), vec),
             codes=put_rows(codes, 0) if codes is not None else jax.device_put(np.zeros((ndev, 1), np.uint8), row),
             codebooks=jax.device_put(codebooks, rep) if codebooks is not None else jax.device_put(np.zeros((1, 1, 1), np.float32), rep),
+            entry_emb=jax.device_put(
+                np.asarray(entry_emb, np.float32).astype(jnp.bfloat16)
+                if entry_emb is not None else np.zeros((1, 1), jnp.bfloat16),
+                rep,
+            ),
         )
         self._jitted = {}
 
@@ -292,6 +301,7 @@ class ShardedSearcher:
             gspec = ShardedGraph(
                 neighbors=P("gp", None), entry_ids=P(), emb=P("gp", None),
                 tokens=P("gp", None), lengths=P("gp"), codes=P("gp", None), codebooks=P(),
+                entry_emb=P(),
             )
 
             def fn(q, g, enc_params):

@@ -281,3 +281,38 @@ class TestDiskannBackendE2E:
         s = LeannSearcher(idx)
         with pytest.raises(ValueError):
             s.search(emb[0], top_k=2, pruning_strategy="proportional")
+
+
+class TestEntryEmb:
+    """Compact indexes carry f16 pool embeddings (entry_emb) so seed
+    selection is an exact MXU matvec instead of PQ-ADC gathers."""
+
+    def _build(self, rng, tmp_path, backend):
+        from leann_tpu import LeannBuilder
+
+        texts = [f"doc {i} " + " ".join(f"w{rng.integers(0, 200)}" for _ in range(12))
+                 for i in range(300)]
+        prefix = str(tmp_path / f"{backend}.leann")
+        kw = dict(M=8) if backend == "hnsw" else dict(graph_degree=8)
+        b = LeannBuilder(backend_name=backend, embedding_model="hash-tiny",
+                         max_length=32, **kw)
+        for t in texts:
+            b.add_text(t)
+        b.build_index(prefix)
+        return prefix
+
+    def test_entry_emb_stored_and_aligned(self, rng, tmp_path):
+        for backend in ("hnsw", "diskann"):
+            prefix = self._build(rng, tmp_path, backend)
+            z = np.load(f"{prefix}.{backend}.npz", allow_pickle=False)
+            assert "entry_emb" in z and z["entry_emb"].dtype == np.float16
+            assert z["entry_emb"].shape[0] == z["entries"].shape[0]
+            assert "embeddings" not in z  # still compact
+
+    def test_search_uses_exact_screen(self, rng, tmp_path):
+        from leann_tpu import LeannSearcher
+
+        prefix = self._build(rng, tmp_path, "diskann")
+        s = LeannSearcher(prefix)
+        res = s.search("doc 5 w1 w2", top_k=3, complexity=16, beam_width=2, n_entries=8)
+        assert len(res) == 3 and all(np.isfinite(r.score) for r in res)

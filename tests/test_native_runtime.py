@@ -136,3 +136,34 @@ class TestNativeTokenizer:
         for i, t in enumerate(texts):
             p_ids, p_mask = tok.encode(t, 16)
             np.testing.assert_array_equal(ids[i], p_ids)
+
+
+class TestNativeLDG:
+    def test_native_matches_python_quality(self, rng):
+        from leann_tpu.backends.diskann.partition import (
+            _ldg_partition_py, _load_lib, edge_locality, ldg_partition)
+
+        if _load_lib() is None:
+            import pytest
+
+            pytest.skip("no C++ toolchain")
+        n, r = 3000, 12
+        nbrs = np.full((n, r), -1, np.int32)
+        for u in range(n):
+            base = (u // 50) * 50
+            k = rng.choice(50, r - 1, replace=False) + base
+            nbrs[u, : r - 1] = np.minimum(k, n - 1)
+            nbrs[u, r - 1] = (u + 1) % n
+        a = ldg_partition(nbrs, 4)
+        sizes = np.bincount(a, minlength=4)
+        assert a.shape == (n,) and sizes.min() >= n // 4 - 1
+        # community structure must be found about as well as the Python sweep
+        loc_c = edge_locality(nbrs, a)
+        loc_p = edge_locality(nbrs, _ldg_partition_py(nbrs, 4))
+        assert loc_c >= loc_p - 0.08
+
+    def test_single_partition_trivial(self):
+        from leann_tpu.backends.diskann.partition import ldg_partition
+
+        nbrs = np.full((10, 2), -1, np.int32)
+        assert (ldg_partition(nbrs, 1) == 0).all()
