@@ -63,6 +63,7 @@ class DiskannBuilder(LeannBackendBuilderInterface):
         pq_rotate: bool = True,  # OPQ rotation (ops/pq.py train_opq)
         num_partitions: int = 0,  # 0 = auto (device count), parity: LDG gp
         partition_passes: int = 10,  # reference gp_times=10
+        build_sharded: bool = False,  # mesh-sharded build (parallel/sharded_build.py)
         **kwargs,
     ):
         self.distance_metric = distance_metric
@@ -74,13 +75,22 @@ class DiskannBuilder(LeannBackendBuilderInterface):
         self.pq_rotate = pq_rotate
         self.num_partitions = num_partitions
         self.partition_passes = partition_passes
+        self.build_sharded = build_sharded
 
     def build(self, data: np.ndarray, ids: list, index_path: str, **kwargs) -> None:
         data = np.ascontiguousarray(data, dtype=np.float32)
         n, d = data.shape
         r = self.graph_degree
         cand_factor = max(2, min(8, self.complexity // max(r, 1)))
-        neighbors, medoid = build_graph(data, r=r, candidate_factor=cand_factor, alpha=self.alpha)
+        if self.build_sharded:
+            from ...parallel.mesh import graph_mesh
+            from ...parallel.sharded_build import sharded_build_graph
+
+            neighbors, medoid = sharded_build_graph(
+                data, graph_mesh(), r=r, candidate_factor=cand_factor, alpha=self.alpha
+            )
+        else:
+            neighbors, medoid = build_graph(data, r=r, candidate_factor=cand_factor, alpha=self.alpha)
         n_parts = self.num_partitions
         if n_parts <= 0:
             import jax

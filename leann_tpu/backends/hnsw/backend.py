@@ -85,6 +85,7 @@ class HnswBuilder(LeannBackendBuilderInterface):
         alpha: float = 1.2,
         pq_subspaces: int = 0,  # 0 = auto (~D/8)
         pq_rotate: bool = True,  # OPQ rotation (ops/pq.py train_opq)
+        build_sharded: bool = False,  # mesh-sharded build (parallel/sharded_build.py)
         **kwargs,
     ):
         self.distance_metric = distance_metric
@@ -95,12 +96,21 @@ class HnswBuilder(LeannBackendBuilderInterface):
         self.alpha = alpha
         self.pq_subspaces = pq_subspaces
         self.pq_rotate = pq_rotate
+        self.build_sharded = build_sharded
 
     def build(self, data: np.ndarray, ids: list, index_path: str, **kwargs) -> None:
         data = np.ascontiguousarray(data, dtype=np.float32)
         n, d = data.shape
         cand_factor = max(2, min(8, self.ef_construction // max(self.m, 1)))
-        neighbors, medoid = build_graph(data, r=self.m, candidate_factor=cand_factor, alpha=self.alpha)
+        if self.build_sharded:
+            from ...parallel.mesh import graph_mesh
+            from ...parallel.sharded_build import sharded_build_graph
+
+            neighbors, medoid = sharded_build_graph(
+                data, graph_mesh(), r=self.m, candidate_factor=cand_factor, alpha=self.alpha
+            )
+        else:
+            neighbors, medoid = build_graph(data, r=self.m, candidate_factor=cand_factor, alpha=self.alpha)
         payload: Dict[str, Any] = {
             "neighbors": neighbors,
             "medoid": np.int32(medoid),
