@@ -44,10 +44,13 @@ logger = logging.getLogger(__name__)
 
 INF = jnp.float32(3.4e38)
 # Beyond this, build_graph switches to NN-descent. The exact O(N²·D) pass is
-# pure streaming MXU work (~15 s at N=100K, k=64 on v5e) and beats NN-descent
-# on both wall-clock and quality up to about a million rows; descent owns the
-# multi-million regime where N² stops being payable.
-EXACT_KNN_MAX_N = 1 << 20
+# pure streaming MXU work (~8 s at N=100K, 156 s at N=1M, k=64 on v5e with
+# approx panel screening + two-stage merge) and beats NN-descent on both
+# wall-clock and quality well into the millions: measured at 2.1M, six
+# descent rounds cost 2200 s and left the join 60% unconverged (recall@3
+# 0.58), while exact extrapolates to ~690 s. Descent owns the regime where
+# N² stops being payable (~10 min/M² rows).
+EXACT_KNN_MAX_N = 4 << 20
 
 
 def _pad_rows(x: np.ndarray, np_total: int, fill=0) -> np.ndarray:
@@ -428,10 +431,10 @@ def _nn_descent_iter(
 def nn_descent(
     emb: np.ndarray,
     k: int,
-    n_iters: int = 6,
+    n_iters: int = 16,
     block: int = 2048,
     seed: int = 0,
-    min_update_frac: float = 0.001,
+    min_update_frac: float = 0.03,
     bootstrap: str = "cluster",  # cluster | random
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Approximate k-NN graph by NN-descent — O(N·C·D) per iteration instead
@@ -471,6 +474,7 @@ def nn_descent(
     rev_jit = jax.jit(_reverse_edges_device, static_argnames=("cap",))
     # chunk each round's row sweep so no dispatch outlives the tunnel watchdog
     rows_per_dispatch = max(block, (131072 // block) * block)
+    prev_changed = None
     for it in range(n_iters):
         t0 = time.time()
         rev_key, it_key = jax.random.split(jax.random.fold_in(base_key, it))
@@ -493,8 +497,16 @@ def nn_descent(
             "nn_descent iter %d: %.3f%% slots improved (%.2fs)",
             it, 100 * changed / (n * k), time.time() - t0,
         )
-        if changed < min_update_frac * n * k:
+        # stop when the join has both PEAKED and dropped below the floor:
+        # on clustered corpora the improvement fraction *rises* through a
+        # connectivity phase transition (measured at 2.1M: 4.7% -> 61% over
+        # 6 rounds) before collapsing, so a bare threshold would quit while
+        # the cascade is still building
+        if changed < min_update_frac * n * k and (
+            prev_changed is None or changed < prev_changed
+        ):
             break
+        prev_changed = changed
     return np.asarray(nbrs)[:n], np.asarray(dists)[:n]
 
 
