@@ -41,7 +41,7 @@ from ...ops.beam_search import (
     unpack_results,
 )
 from ...ops.graph import build_graph
-from ...ops.pq import choose_m, encode_pq_blocked, train_opq, train_pq
+from ...ops.pq import choose_m, encode_pq_blocked, lift_codebooks, train_opq, train_pq
 from ...registry import register_backend
 from ..common import BaseSearcher, pad_batch_rows, save_ids
 from ..hnsw.backend import _entry_pool
@@ -112,7 +112,14 @@ class DiskannBuilder(LeannBackendBuilderInterface):
         self._permute_tokens(index_path, order)
 
         m = choose_m(d, self.pq_subspaces)
-        codebooks = (train_opq if self.pq_rotate else train_pq)(data, m=m)
+        rotation = None
+        if self.pq_rotate:
+            # factorized on disk (rotation + plain codebooks, ~1 MB) — the
+            # ~19 MB lifted tensor is reconstituted at load (ops/pq.py)
+            rotation, cb_plain = train_opq(data, m=m, factorized=True)
+            codebooks = lift_codebooks(rotation, cb_plain)
+        else:
+            codebooks = cb_plain = train_pq(data, m=m)
         codes = encode_pq_blocked(data, codebooks)
         payload = {
             "neighbors": neighbors,
@@ -120,14 +127,17 @@ class DiskannBuilder(LeannBackendBuilderInterface):
             "entries": _entry_pool(medoid, n, has_screen=True),  # codes always exist
             "metric": self.distance_metric,
             "dim": np.int32(d),
-            "codebooks": codebooks,
+            "codebooks": cb_plain,
             "codes": codes,
             "is_recompute": self.is_recompute,
         }
+        if rotation is not None:
+            payload["pq_rotation"] = rotation
         if not self.is_recompute:
             payload["embeddings"] = data
         else:
-            # pool embeddings (f16, ~3% of rows): exact MXU seed screening
+            # pool embeddings (f16, <=25% of rows by _entry_pool's cap):
+            # exact MXU seed screening
             payload["entry_emb"] = data[payload["entries"]].astype(np.float16)
         np.savez(f"{index_path}.diskann.npz", **payload)
         np.save(f"{index_path}.partition.npy", assign)
@@ -164,7 +174,10 @@ class DiskannSearcher(BaseSearcher, LeannBackendSearcherInterface):
         self.n = int(self.neighbors.shape[0])
         dummy = jnp.zeros((1, 1), jnp.float32)
         self.codes = jnp.asarray(z["codes"])
-        self.codebooks = jnp.asarray(z["codebooks"])
+        cb = np.asarray(z["codebooks"])
+        if "pq_rotation" in z:  # factorized OPQ: lift to runtime form
+            cb = lift_codebooks(np.asarray(z["pq_rotation"]), cb)
+        self.codebooks = jnp.asarray(cb)
         self.emb = jnp.asarray(z["embeddings"]) if "embeddings" in z else dummy
         self.entry_emb = jnp.asarray(z["entry_emb"], jnp.bfloat16) if "entry_emb" in z else None
         tok = self.load_tokens()
@@ -192,7 +205,7 @@ class DiskannSearcher(BaseSearcher, LeannBackendSearcherInterface):
                 tokens=tok[0] if tok else None,
                 lengths=tok[1] if tok else None,
                 codes=np.asarray(z["codes"]),
-                codebooks=np.asarray(z["codebooks"]),
+                codebooks=np.asarray(cb),
                 entry_emb=np.asarray(z["entry_emb"], np.float32) if "entry_emb" in z else None,
             )
             logger.info("diskann searcher sharded over %d devices", mesh.devices.size)

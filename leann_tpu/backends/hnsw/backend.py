@@ -44,7 +44,7 @@ from ...ops.beam_search import (
     unpack_results,
 )
 from ...ops.graph import build_graph
-from ...ops.pq import choose_m, encode_pq_blocked, train_opq, train_pq
+from ...ops.pq import choose_m, encode_pq_blocked, lift_codebooks, train_opq, train_pq
 from ...registry import register_backend
 from ..common import BaseSearcher, pad_batch_rows, save_ids
 
@@ -67,11 +67,13 @@ def _entry_pool(medoid: int, n: int, has_screen: bool) -> np.ndarray:
     embeddings or PQ codes), store a large strided pool and let the query pick
     its n_entries best seeds; otherwise fall back to a small fixed set. The
     pool grows as n/16 (capped 32K) so seed coverage doesn't wash out at
-    large N — the ADC screen over the pool is a negligible on-chip gather."""
+    large N, and is capped at n/4 so it stays a genuine subset on small
+    corpora (a pool that IS the corpus would be the embedding matrix back
+    under another name once f16 pool embeddings are stored)."""
     if not has_screen:
         return _entry_points(medoid, n, N_ENTRY_POINTS)
-    count = min(n, max(ENTRY_POOL_SIZE, min(n // 16, 32768)))
-    return _entry_points(medoid, n, count)
+    count = min(max(ENTRY_POOL_SIZE, min(n // 16, 32768)), max(n // 4, N_ENTRY_POINTS))
+    return _entry_points(medoid, n, min(count, n))
 
 
 class HnswBuilder(LeannBackendBuilderInterface):
@@ -122,16 +124,22 @@ class HnswBuilder(LeannBackendBuilderInterface):
         # PQ codes steer pruned expansion whenever recompute is on
         if self.is_recompute and n >= 4:
             m = choose_m(d, self.pq_subspaces)
-            train = train_opq if self.pq_rotate else train_pq
-            codebooks = train(data, m=m)
-            payload["codebooks"] = codebooks
+            if self.pq_rotate:
+                # factorized on disk (~1 MB vs ~19 MB lifted); lifted at load
+                rotation, cb_plain = train_opq(data, m=m, factorized=True)
+                codebooks = lift_codebooks(rotation, cb_plain)
+                payload["pq_rotation"] = rotation
+            else:
+                codebooks = cb_plain = train_pq(data, m=m)
+            payload["codebooks"] = cb_plain
             payload["codes"] = encode_pq_blocked(data, codebooks)
         if not self.is_compact:
             payload["embeddings"] = data  # non-compact keeps the matrix
         has_screen = (not self.is_compact) or ("codes" in payload)
         payload["entries"] = _entry_pool(medoid, n, has_screen)
         if self.is_compact and payload["entries"].shape[0] > N_ENTRY_POINTS:
-            # pool embeddings (f16, ~3% of rows): exact MXU seed screening
+            # pool embeddings (f16, <=25% of rows by _entry_pool's cap):
+            # exact MXU seed screening
             payload["entry_emb"] = data[payload["entries"]].astype(np.float16)
         np.savez(f"{index_path}.hnsw.npz", **payload)
         save_ids(index_path, ids)
@@ -154,7 +162,10 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
         dummy = jnp.zeros((1, 1), jnp.float32)
         self.emb = jnp.asarray(z["embeddings"]) if "embeddings" in z else dummy
         self.codes = jnp.asarray(z["codes"]) if "codes" in z else jnp.zeros((1, 1), jnp.uint8)
-        self.codebooks = jnp.asarray(z["codebooks"]) if "codebooks" in z else dummy
+        cb = np.asarray(z["codebooks"]) if "codebooks" in z else None
+        if cb is not None and "pq_rotation" in z:  # factorized OPQ: lift
+            cb = lift_codebooks(np.asarray(z["pq_rotation"]), cb)
+        self.codebooks = jnp.asarray(cb) if cb is not None else dummy
         self.entry_emb = jnp.asarray(z["entry_emb"], jnp.bfloat16) if "entry_emb" in z else None
         self.has_pq = "codes" in z
         tok = self.load_tokens()
@@ -190,7 +201,7 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
             tokens=tok[0] if tok else None,
             lengths=tok[1] if tok else None,
             codes=np.asarray(z["codes"]) if "codes" in z else None,
-            codebooks=np.asarray(z["codebooks"]) if "codebooks" in z else None,
+            codebooks=np.asarray(self.codebooks) if "codebooks" in z else None,
             entry_emb=np.asarray(z["entry_emb"], np.float32) if "entry_emb" in z else None,
         )
         logger.info("hnsw searcher sharded over %d devices", mesh.devices.size)
@@ -371,7 +382,12 @@ def insert_hnsw(index_path: str, new_emb: np.ndarray, ef: int = 64, alpha: float
         neighbors[touched] = touched_rows
     z["neighbors"] = neighbors
     if "codes" in z:
-        z["codes"] = np.concatenate([z["codes"], encode_pq_blocked(new_emb, z["codebooks"])])
+        cb = z["codebooks"]
+        if "pq_rotation" in z:
+            from ...ops.pq import lift_codebooks
+
+            cb = lift_codebooks(z["pq_rotation"], cb)
+        z["codes"] = np.concatenate([z["codes"], encode_pq_blocked(new_emb, cb)])
     if "embeddings" in z:
         z["embeddings"] = np.concatenate([z["embeddings"], new_emb])
     # keep the entry pool covering the appended id range

@@ -88,8 +88,7 @@ def train_pq(
     m = choose_m(d, m)
     ds = d // m
     rng = np.random.default_rng(seed)
-    if n > sample:
-        x = x[rng.choice(n, sample, replace=False)]
+    x = _bucket_sample(x, sample, rng)
     xs = jnp.asarray(x.reshape(-1, m, ds).transpose(1, 0, 2))  # [M, S, ds]
     k_eff = min(k, xs.shape[1])
     init_idx = rng.choice(xs.shape[1], k_eff, replace=False)
@@ -155,22 +154,39 @@ def _opq_iter(x: jnp.ndarray, r: jnp.ndarray, cb: jnp.ndarray, n_kmeans: int):
     return cb, xty, mse
 
 
+def _bucket_sample(x: np.ndarray, sample: int, rng) -> np.ndarray:
+    """Subsample to a power-of-two size so the jitted k-means/OPQ programs
+    compile once per bucket, not once per exact corpus size (each fresh
+    shape costs minutes of axon compile; a pow2 training subsample costs
+    nothing — it's a sample either way)."""
+    n = x.shape[0]
+    size = min(n, sample)
+    bucket = 1 << (size.bit_length() - 1)  # largest pow2 <= size
+    if bucket == n:
+        return x
+    return x[rng.choice(n, bucket, replace=False)]
+
+
 def train_opq(
     x: np.ndarray, m: int = 0, k: int = 256, n_iters: int = 10, opq_iters: int = 8,
-    sample: int = 65536, seed: int = 0,
-) -> np.ndarray:
+    sample: int = 65536, seed: int = 0, factorized: bool = False,
+):
     """OPQ-NP: alternate per-subspace k-means with the Procrustes update
     R = U V^T of SVD(X^T Y) (Ge et al. CVPR'13, non-parametric OPQ).
     Returns **lifted** codebooks f32[M, K, D] (module docstring) — drop-in
     for plain codebooks everywhere downstream. Replaces the recall the
     reference leaves on the table with faiss/DiskANN's axis-aligned PQ
-    (_pq_pivots.bin, diskann_backend.py:151-208)."""
+    (_pq_pivots.bin, diskann_backend.py:151-208).
+
+    ``factorized=True`` instead returns ``(rotation f32[D, D], plain
+    codebooks f32[M, K, ds])`` — the compact on-disk form (~1 MB vs ~19 MB
+    lifted at D=384); :func:`lift_codebooks` reconstitutes the runtime
+    tensor at load."""
     n, d = x.shape
     m = choose_m(d, m)
     ds = d // m
     rng = np.random.default_rng(seed)
-    if n > sample:
-        x = x[rng.choice(n, sample, replace=False)]
+    x = _bucket_sample(x, sample, rng)
     xd = jnp.asarray(x, jnp.float32)
     r = jnp.eye(d, dtype=jnp.float32)  # identity init: starts at plain PQ
     k_eff = min(k, x.shape[0])
@@ -183,13 +199,21 @@ def train_opq(
         if it < opq_iters - 1:  # Procrustes on host: D x D SVD is tiny
             u, _, vt = np.linalg.svd(np.asarray(xty))
             r = jnp.asarray((u @ vt).astype(np.float32))
-    # lift: B[m, k] = R_m @ c[m, k], R_m = ds-column block m of R
-    r_blocks = np.asarray(r).reshape(d, m, ds).transpose(1, 0, 2)  # [M, D, ds]
-    b = jnp.einsum("mds,mks->mkd", jnp.asarray(r_blocks), cb)
-    b = np.asarray(b)
+    cb = np.asarray(cb)
     if k_eff < k:  # pad to fixed K so codes stay u8-addressable
-        b = np.concatenate([b, np.tile(b[:, :1], (1, k - k_eff, 1)) + 1e6], axis=1)
-    return b
+        cb = np.concatenate([cb, np.tile(cb[:, :1], (1, k - k_eff, 1)) + 1e6], axis=1)
+    if factorized:
+        return np.asarray(r), cb
+    return lift_codebooks(np.asarray(r), cb)
+
+
+def lift_codebooks(rotation: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """(R f32[D, D], plain cb f32[M, K, ds]) -> lifted f32[M, K, D] with
+    B[m, k] = R_m @ c[m, k], R_m = ds-column block m of R."""
+    d = rotation.shape[0]
+    m, k, ds = cb.shape
+    r_blocks = rotation.reshape(d, m, ds).transpose(1, 0, 2)  # [M, D, ds]
+    return np.asarray(jnp.einsum("mds,mks->mkd", jnp.asarray(r_blocks), jnp.asarray(cb)))
 
 
 def encode_pq_blocked(x: np.ndarray, codebooks: np.ndarray, block: int = 16384) -> np.ndarray:
