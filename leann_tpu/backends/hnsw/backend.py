@@ -61,19 +61,23 @@ def _entry_points(medoid: int, n: int, count: int = N_ENTRY_POINTS) -> np.ndarra
     return np.asarray(uniq[:count], np.int32)
 
 
+def _pool_cap(n: int) -> int:
+    """Entry-pool size rule shared by build and insert: n/16 (capped 32K) so
+    seed coverage doesn't wash out at large N, floored at ENTRY_POOL_SIZE,
+    and capped at n/4 so the pool stays a genuine subset on small corpora."""
+    return min(max(ENTRY_POOL_SIZE, min(n // 16, 32768)), max(n // 4, N_ENTRY_POINTS))
+
+
 def _entry_pool(medoid: int, n: int, has_screen: bool) -> np.ndarray:
     """Entry pool — the TPU-static replacement for HNSW's upper hierarchy
     layers. When the searcher can cheaply screen candidates per query (stored
     embeddings or PQ codes), store a large strided pool and let the query pick
-    its n_entries best seeds; otherwise fall back to a small fixed set. The
-    pool grows as n/16 (capped 32K) so seed coverage doesn't wash out at
-    large N, and is capped at n/4 so it stays a genuine subset on small
-    corpora (a pool that IS the corpus would be the embedding matrix back
-    under another name once f16 pool embeddings are stored)."""
+    its n_entries best seeds; otherwise fall back to a small fixed set. (A
+    pool that IS the corpus would be the embedding matrix back under another
+    name once f16 pool embeddings are stored — hence the n/4 cap.)"""
     if not has_screen:
         return _entry_points(medoid, n, N_ENTRY_POINTS)
-    count = min(max(ENTRY_POOL_SIZE, min(n // 16, 32768)), max(n // 4, N_ENTRY_POINTS))
-    return _entry_points(medoid, n, min(count, n))
+    return _entry_points(medoid, n, min(_pool_cap(n), n))
 
 
 class HnswBuilder(LeannBackendBuilderInterface):
@@ -264,8 +268,6 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
             raise ValueError(f"unknown pruning_strategy {pruning_strategy!r}")
         prune_keep = 0
         if recompute_embeddings and prune_ratio > 0 and self.has_pq:
-            if pruning_strategy != "global":
-                logger.info("pruning_strategy %r approximated by 'global' on TPU", pruning_strategy)
             prune_keep = max(1, min(f, math.ceil(f * (1.0 - prune_ratio))))
             # batch_size caps the static recompute batch per hop (parity
             # hnsw_backend.py:233-234)
@@ -279,6 +281,7 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
             max_steps=max(8, l),
             traversal=traversal,
             prune_keep=prune_keep,
+            prune_strategy=pruning_strategy,
             rerank=0,
             n_entries=max(1, n_entries),
             normalize=(self.metric == "cosine"),
@@ -390,8 +393,12 @@ def insert_hnsw(index_path: str, new_emb: np.ndarray, ef: int = 64, alpha: float
         z["codes"] = np.concatenate([z["codes"], encode_pq_blocked(new_emb, cb)])
     if "embeddings" in z:
         z["embeddings"] = np.concatenate([z["embeddings"], new_emb])
-    # keep the entry pool covering the appended id range
-    pool_cap = ENTRY_POOL_SIZE if (("codes" in z) or ("embeddings" in z)) else N_ENTRY_POINTS
+    # keep the entry pool covering the appended id range, growing it by the
+    # SAME rule the builder uses (_entry_pool: n/16 capped at 32768, floored
+    # at ENTRY_POOL_SIZE) computed at the post-insert N — a fixed 4096 cap
+    # here silently froze seed coverage for heavily-inserted indexes >65K rows
+    n_new = int(neighbors.shape[0])
+    pool_cap = _pool_cap(n_new) if (("codes" in z) or ("embeddings" in z)) else N_ENTRY_POINTS
     room = pool_cap - z["entries"].shape[0]
     if room > 0:
         step = max(1, new_emb.shape[0] // max(room, 1))

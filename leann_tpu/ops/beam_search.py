@@ -74,6 +74,14 @@ class BeamConfig:
     max_steps: int = 64
     traversal: str = "stored"  # stored | recompute | pq
     prune_keep: int = 0  # >0: PQ-screen, re-encode only top-K per hop
+    # candidate-selection strategy for the PQ screen (reference
+    # hnsw_backend.py:222-231 global/local/proportional):
+    #   global        top prune_keep by ADC across the whole expansion set
+    #   local         per-source-node fairness: each expanded node's best
+    #                 neighbors get recompute slots first (per-row ADC rank)
+    #   proportional  exact-distance budget scales with the number of FRESH
+    #                 candidates this hop (prune_keep * num_new / fanout)
+    prune_strategy: str = "global"
     rerank: int = 0  # >0: final exact recompute of top-K pool entries
     rerank_source: str = "recompute"  # recompute | stored
     n_entries: int = 16  # starting points taken from the entry pool
@@ -113,23 +121,51 @@ def _exact_dists(q, g: GraphData, ids, valid, cfg: BeamConfig, enc_params, sourc
     return jnp.where(valid, _metric_dists(q, e, cfg.metric), INF)
 
 
-def _traversal_dists(q, g: GraphData, ids, valid, lut, cfg: BeamConfig, enc_params):
+def _traversal_dists(q, g: GraphData, ids, valid, lut, cfg: BeamConfig, enc_params,
+                     per_source: int = 0):
+    """-> (dists [C], n_exact i32): traversal distances for candidate ``ids``
+    plus how many received an EXACT (recomputed/stored) distance — the
+    recompute-count telemetry the pruning strategies trade against recall.
+
+    ``per_source``: when >0 the flat ids have [per_source, R] row structure
+    (the beam-expansion case), enabling the per-source "local" strategy; 0
+    (entry seeding) falls back to global selection."""
+    nv = jnp.sum(valid.astype(jnp.int32))
     if cfg.traversal == "stored":
-        return _exact_dists(q, g, ids, valid, cfg, enc_params, "stored")
+        return _exact_dists(q, g, ids, valid, cfg, enc_params, "stored"), nv
     if cfg.traversal == "pq":
         ad = adc_distances(g.codes[jnp.clip(ids, 0, g.codes.shape[0] - 1)], lut)
-        return jnp.where(valid, ad, INF)
+        return jnp.where(valid, ad, INF), jnp.int32(0)
     # recompute, optionally PQ-screened
     f = ids.shape[0]
     if cfg.prune_keep and cfg.prune_keep < f:
         ad = adc_distances(g.codes[jnp.clip(ids, 0, g.codes.shape[0] - 1)], lut)
         ad = jnp.where(valid, ad, INF)
-        _, keep_pos = jax.lax.top_k(-ad, cfg.prune_keep)
+        if cfg.prune_strategy == "local" and per_source > 0:
+            # rank each candidate within its source node's row (double
+            # argsort); selecting by rank hands recompute slots round-robin
+            # across source nodes instead of by global ADC comparison
+            adm = ad.reshape(per_source, f // per_source)
+            rank = jnp.argsort(jnp.argsort(adm, axis=1), axis=1).reshape(f)
+            sel = jnp.where(ad >= BIG, INF, rank.astype(jnp.float32))
+        else:
+            sel = ad
+        _, keep_pos = jax.lax.top_k(-sel, cfg.prune_keep)
         keep_ids = ids[keep_pos]
         keep_valid = valid[keep_pos]
+        if cfg.prune_strategy == "proportional":
+            # budget scales with the fresh-candidate count this hop: a hop
+            # that uncovers few new nodes spends few exact distances
+            budget = jnp.clip(
+                (cfg.prune_keep * nv + f - 1) // f, 1, cfg.prune_keep
+            ).astype(jnp.int32)
+            keep_valid &= jax.lax.iota(jnp.int32, cfg.prune_keep) < budget
         ed = _exact_dists(q, g, keep_ids, keep_valid, cfg, enc_params, "recompute")
-        return ad.at[keep_pos].set(ed)
-    return _exact_dists(q, g, ids, valid, cfg, enc_params, "recompute")
+        n_exact = jnp.sum(keep_valid.astype(jnp.int32))
+        # non-recomputed survivors keep their ADC estimate
+        ed = jnp.where(keep_valid, ed, ad[keep_pos])
+        return ad.at[keep_pos].set(ed), n_exact
+    return _exact_dists(q, g, ids, valid, cfg, enc_params, "recompute"), nv
 
 
 def _merge_pool(ids_a, dist_a, flag_a, ids_b, dist_b, flag_b, l: int):
@@ -175,7 +211,7 @@ def _search_one(q: jnp.ndarray, g: GraphData, cfg: BeamConfig, enc_params):
     bit = jnp.uint32(1) << (e_ids & 31).astype(jnp.uint32)
     visited = visited.at[e_ids >> 5].add(bit)  # entry ids are unique by construction
     e_valid = jnp.ones((ne,), bool)
-    e_dist = _traversal_dists(q, g, e_ids, e_valid, lut, cfg, enc_params)
+    e_dist, n_exact = _traversal_dists(q, g, e_ids, e_valid, lut, cfg, enc_params)
     pad = l - ne
     cand_ids = jnp.concatenate([e_ids, jnp.full((pad,), -1, jnp.int32)])
     cand_dist = jnp.concatenate([e_dist, jnp.full((pad,), INF)])
@@ -184,11 +220,11 @@ def _search_one(q: jnp.ndarray, g: GraphData, cfg: BeamConfig, enc_params):
     cand_flag = flag_i.astype(bool)
 
     def cond(state):
-        _, _, _, _, step, done = state
+        _, _, _, _, step, _, done = state
         return (step < cfg.max_steps) & ~done
 
     def body(state):
-        cand_ids, cand_dist, cand_flag, visited, step, done = state
+        cand_ids, cand_dist, cand_flag, visited, step, n_exact, done = state
         # 1. select the `beam` closest unexpanded candidates
         sel_score = jnp.where(cand_flag, INF, cand_dist)
         neg, pos = jax.lax.top_k(-sel_score, cfg.beam)
@@ -210,7 +246,9 @@ def _search_one(q: jnp.ndarray, g: GraphData, cfg: BeamConfig, enc_params):
         is_new = ((visited[wi] & bit) == 0) & valid
         visited = visited.at[wi].add(jnp.where(is_new, bit, jnp.uint32(0)))
         # 5. distances for fresh candidates
-        new_dist = _traversal_dists(q, g, safe, is_new, lut, cfg, enc_params)
+        new_dist, hop_exact = _traversal_dists(
+            q, g, safe, is_new, lut, cfg, enc_params, per_source=cfg.beam
+        )
         new_ids = jnp.where(is_new, nbrs, -1)
         # 6. merge into the sorted pool
         cand_ids, cand_dist, cand_flag = _merge_pool(
@@ -223,10 +261,10 @@ def _search_one(q: jnp.ndarray, g: GraphData, cfg: BeamConfig, enc_params):
         best_unexp = jnp.min(jnp.where(cand_flag, INF, cand_dist))
         worst_pool = cand_dist[l - 1]
         done = (best_unexp > worst_pool) | (best_unexp >= BIG)
-        return cand_ids, cand_dist, cand_flag, visited, step + 1, done
+        return cand_ids, cand_dist, cand_flag, visited, step + 1, n_exact + hop_exact, done
 
-    state = (cand_ids, cand_dist, cand_flag, visited, jnp.int32(0), jnp.bool_(False))
-    cand_ids, cand_dist, cand_flag, visited, steps, _ = jax.lax.while_loop(cond, body, state)
+    state = (cand_ids, cand_dist, cand_flag, visited, jnp.int32(0), n_exact, jnp.bool_(False))
+    cand_ids, cand_dist, cand_flag, visited, steps, n_exact, _ = jax.lax.while_loop(cond, body, state)
 
     # ---- optional exact rerank (DiskANN deferred-fetch parity) ------------
     if cfg.rerank:
@@ -237,8 +275,9 @@ def _search_one(q: jnp.ndarray, g: GraphData, cfg: BeamConfig, enc_params):
             q, g, jnp.clip(top_ids, 0, n - 1), top_valid, cfg, enc_params, cfg.rerank_source
         )
         exact, top_ids = jax.lax.sort((exact, top_ids), num_keys=1)
-        return top_ids[: cfg.k], exact[: cfg.k], steps
-    return cand_ids[: cfg.k], cand_dist[: cfg.k], steps
+        n_exact = n_exact + jnp.sum(top_valid.astype(jnp.int32))
+        return top_ids[: cfg.k], exact[: cfg.k], steps, n_exact
+    return cand_ids[: cfg.k], cand_dist[: cfg.k], steps, n_exact
 
 
 def pack_results(labels: jnp.ndarray, dists: jnp.ndarray) -> jnp.ndarray:
@@ -262,7 +301,9 @@ def unpack_results(packed) -> tuple:
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def beam_search_batch(q: jnp.ndarray, g: GraphData, cfg: BeamConfig, enc_params=None):
-    """q [B, D] -> (labels i32[B, k], dists f32[B, k], steps i32[B])."""
+    """q [B, D] -> (labels i32[B, k], dists f32[B, k], steps i32[B],
+    n_exact i32[B] — exact-distance evaluations per query, the recompute-count
+    telemetry the pruning strategies trade against recall)."""
     if enc_params is None:
         enc_params = {"_": jnp.zeros((1,), jnp.float32)}
     return jax.vmap(lambda qi: _search_one(qi, g, cfg, enc_params))(q)
@@ -274,7 +315,7 @@ def beam_search_batch_packed(q: jnp.ndarray, g: GraphData, cfg: BeamConfig, enc_
     (single device->host transfer; see :func:`pack_results`)."""
     if enc_params is None:
         enc_params = {"_": jnp.zeros((1,), jnp.float32)}
-    labels, dists, _ = jax.vmap(lambda qi: _search_one(qi, g, cfg, enc_params))(q)
+    labels, dists, _, _ = jax.vmap(lambda qi: _search_one(qi, g, cfg, enc_params))(q)
     return pack_results(labels, dists)
 
 
@@ -298,7 +339,7 @@ def beam_search_text_batch_packed(q_ids: jnp.ndarray, q_mask: jnp.ndarray, g: Gr
     q = encode_tokens(enc_params, q_ids, q_mask, cfg.enc_cfg)
     if cfg.normalize and not cfg.enc_cfg.normalize:
         q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
-    labels, dists, _ = jax.vmap(lambda qi: _search_one(qi, g, cfg, enc_params))(q)
+    labels, dists, _, _ = jax.vmap(lambda qi: _search_one(qi, g, cfg, enc_params))(q)
     return pack_results(labels, dists)
 
 

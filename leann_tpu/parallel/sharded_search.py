@@ -107,13 +107,32 @@ def _sharded_search_one(q, g: ShardedGraph, cfg: BeamConfig, enc_params, keep_lo
         full = _psum_vals(d, owned & valid, axis)
         return jnp.where(valid, full, INF)
 
-    def recompute_local(ids, sel_mask):
-        """Re-encode ``keep_local`` owned candidates -> (positions, exact, ok)."""
-        kl = min(keep_local, ids.shape[0])
+    def recompute_local(ids, sel_mask, per_source):
+        """Re-encode ``keep_local`` owned candidates -> (positions, exact, ok).
+
+        Pruning strategies stay in lockstep with ops/beam_search.py
+        _traversal_dists (global/local/proportional), with per-device
+        ownership layered on top: "global" is approximated by the union of
+        per-device top ``keep_local`` ADC picks; "local" ranks candidates
+        within their source node's row (on the replicated psum'd ADC) before
+        the per-device pick; "proportional" scales each device's accepted
+        budget with the fresh-candidate count this hop."""
+        c = ids.shape[0]
+        kl = min(keep_local, c)
         li, owned = local_ids(ids)
-        score = jnp.where(owned & sel_mask, approx_cache, INF)
+        if cfg.prune_strategy == "local" and per_source > 0:
+            adm = approx_cache.reshape(per_source, c // per_source)
+            rank = jnp.argsort(jnp.argsort(adm, axis=1), axis=1).reshape(c)
+            base = jnp.where(approx_cache >= BIG, INF, rank.astype(jnp.float32))
+        else:
+            base = approx_cache
+        score = jnp.where(owned & sel_mask, base, INF)
         neg, pos = jax.lax.top_k(-score, kl)  # positions into [f]
         ok = -neg < BIG
+        if cfg.prune_strategy == "proportional" and per_source > 0:
+            nv = jnp.sum(sel_mask.astype(jnp.int32))
+            budget = jnp.clip((kl * nv + c - 1) // c, 1, kl).astype(jnp.int32)
+            ok &= jax.lax.iota(jnp.int32, kl) < budget
         kept_li = jnp.where(ok, li[pos], 0)
         toks = g.tokens[kept_li]
         t = toks.shape[1]
@@ -126,7 +145,7 @@ def _sharded_search_one(q, g: ShardedGraph, cfg: BeamConfig, enc_params, keep_lo
 
     approx_cache = None  # bound per-hop below
 
-    def traversal_dists(ids, valid):
+    def traversal_dists(ids, valid, per_source=0):
         nonlocal approx_cache
         if cfg.traversal == "stored":
             return stored_dists(ids, valid)
@@ -135,7 +154,7 @@ def _sharded_search_one(q, g: ShardedGraph, cfg: BeamConfig, enc_params, keep_lo
             return ad
         # recompute: PQ-screen locally, re-encode owned survivors, psum deltas
         approx_cache = ad
-        pos, exact, ok = recompute_local(ids, valid)
+        pos, exact, ok = recompute_local(ids, valid, per_source)
         delta = jnp.zeros((ids.shape[0],), jnp.float32).at[pos].add(
             jnp.where(ok, exact - ad[pos], 0.0)
         )
@@ -197,7 +216,7 @@ def _sharded_search_one(q, g: ShardedGraph, cfg: BeamConfig, enc_params, keep_lo
         bit = jnp.uint32(1) << (safe & 31).astype(jnp.uint32)
         is_new = ((visited[wi] & bit) == 0) & valid
         visited = visited.at[wi].add(jnp.where(is_new, bit, jnp.uint32(0)))
-        new_dist = traversal_dists(safe, is_new)
+        new_dist = traversal_dists(safe, is_new, per_source=cfg.beam)
         new_ids = jnp.where(is_new, nbrs, -1)
         cand_ids, cand_dist, cand_flag = _merge_pool(
             cand_ids, cand_dist, cand_flag, new_ids, new_dist, ~is_new, l

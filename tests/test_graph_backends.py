@@ -171,7 +171,7 @@ class TestBeamSearchStored:
             codebooks=dummy,
         )
         cfg = BeamConfig(metric="l2", k=k, complexity=64, beam=4, max_steps=64, traversal="stored")
-        labels, dists, steps = beam_search_batch(jnp.asarray(q), gd, cfg)
+        labels, dists, steps, _ = beam_search_batch(jnp.asarray(q), gd, cfg)
         truth = _brute_force(emb, q, k)
         rec = _recall(np.asarray(labels), truth)
         assert rec >= 0.9, f"recall {rec}"
@@ -316,3 +316,71 @@ class TestEntryEmb:
         s = LeannSearcher(prefix)
         res = s.search("doc 5 w1 w2", top_k=3, complexity=16, beam_width=2, n_entries=8)
         assert len(res) == 3 and all(np.isfinite(r.score) for r in res)
+
+
+class TestPruningStrategies:
+    """global / local / proportional PQ-screen semantics (reference
+    hnsw_backend.py:222-231): the strategies must produce measurably
+    different exact-recompute budgets and selection patterns, not be silent
+    aliases of 'global'."""
+
+    @pytest.fixture(scope="class")
+    def built(self, tmp_path_factory):
+        from leann_tpu import LeannBuilder
+
+        rng = np.random.default_rng(7)
+        texts = [f"doc {i} " + " ".join(f"w{rng.integers(0, 400)}" for _ in range(12))
+                 for i in range(400)]
+        prefix = str(tmp_path_factory.mktemp("prune") / "p.leann")
+        b = LeannBuilder(backend_name="hnsw", embedding_model="hash-tiny",
+                         max_length=32, M=8)
+        for t in texts:
+            b.add_text(t)
+        b.build_index(prefix)
+        return prefix, texts
+
+    def _run(self, prefix, queries_emb, strategy):
+        import jax.numpy as jnp
+
+        from leann_tpu.backends.hnsw.backend import HnswSearcher
+        from leann_tpu.ops.beam_search import beam_search_batch
+
+        s = HnswSearcher(prefix)
+        cfg, enc_params = s._make_cfg(
+            top_k=5, complexity=32, beam_width=4, prune_ratio=0.5,
+            recompute_embeddings=True, pruning_strategy=strategy, batch_size=0,
+        )
+        assert cfg.prune_keep > 0 and cfg.prune_strategy == strategy
+        labels, dists, steps, n_exact = beam_search_batch(
+            jnp.asarray(queries_emb), s._graph_data(), cfg, enc_params
+        )
+        return (np.asarray(labels), np.asarray(dists), int(np.asarray(n_exact).sum()))
+
+    def test_strategy_budgets_and_selection(self, built):
+        from leann_tpu.embeddings.encoder import get_encoder
+
+        prefix, texts = built
+        enc = get_encoder("hash-tiny", max_length=32)
+        q = enc.encode([texts[i] for i in (3, 77, 200, 311)])
+        out = {s: self._run(prefix, q, s) for s in ("global", "local", "proportional")}
+        for labels, dists, n_exact in out.values():
+            assert labels.shape == (4, 5) and n_exact > 0
+            assert (labels >= 0).all()
+        # proportional scales the exact budget with fresh-candidate count ->
+        # strictly fewer recomputes than global's fixed per-hop budget
+        assert out["proportional"][2] < out["global"][2]
+        # local hands slots per source node -> different traversal than global
+        assert not np.allclose(out["local"][1], out["global"][1])
+
+    def test_strategies_keep_recall(self, built):
+        from leann_tpu.embeddings.encoder import get_encoder
+
+        prefix, texts = built
+        enc = get_encoder("hash-tiny", max_length=32)
+        qi = list(range(0, 400, 25))
+        q = enc.encode([texts[i] for i in qi])
+        # self-retrieval: each query is a corpus chunk; top-1 should be itself
+        for strat in ("global", "local", "proportional"):
+            labels, _, _ = self._run(prefix, q, strat)
+            self_hit = sum(1 for row, i in zip(labels, qi) if i in row)
+            assert self_hit / len(qi) >= 0.8, strat

@@ -44,7 +44,7 @@ class TestShardedSearch:
             tokens=jnp.zeros((1, 1), jnp.int32), lengths=jnp.zeros((1,), jnp.int32),
             codes=jnp.zeros((1, 1), jnp.uint8), codebooks=dummy,
         )
-        labels_1, dists_1, _ = beam_search_batch(jnp.asarray(q), gd, cfg)
+        labels_1, dists_1, _, _ = beam_search_batch(jnp.asarray(q), gd, cfg)
         # identical graph + identical traversal rule -> identical results
         np.testing.assert_array_equal(labels_s, np.asarray(labels_1))
         np.testing.assert_allclose(dists_s, np.asarray(dists_1), rtol=1e-3, atol=1e-3)
@@ -67,8 +67,11 @@ class TestShardedSearch:
         truth = np.argsort(d, axis=1)[:, :5]
         assert _recall(labels, truth) >= 0.85
 
-    def test_sharded_recompute_e2e(self, tiny_corpus, rng):
-        """Distributed on-chip recompute: tokens sharded, per-device screening."""
+    @pytest.mark.parametrize("strategy", ["global", "local", "proportional"])
+    def test_sharded_recompute_e2e(self, tiny_corpus, rng, strategy):
+        """Distributed on-chip recompute: tokens sharded, per-device screening.
+        All three pruning strategies must traverse correctly under shard_map
+        (lockstep with ops/beam_search.py semantics)."""
         from leann_tpu.embeddings.encoder import get_encoder
         from leann_tpu.ops.beam_search import BeamConfig
         from leann_tpu.ops.graph import build_graph
@@ -92,6 +95,7 @@ class TestShardedSearch:
         cfg = BeamConfig(
             metric="cosine", k=3, complexity=16, beam=2, max_steps=16,
             traversal="recompute", enc_cfg=enc.cfg, normalize=True,
+            prune_strategy=strategy,
         )
         q = enc.encode(["the largest planet jupiter"])
         labels, dists = ss.search(q, cfg, enc_params=enc.params, keep_local=4)

@@ -79,7 +79,7 @@ class TestReverseFill:
         )
         cfg = BeamConfig(metric="l2", k=10, complexity=64, beam=8, max_steps=64, traversal="stored")
         q = emb[:16]
-        labels, _, _ = beam_search_batch(jnp.asarray(q), gd, cfg)
+        labels, _, _, _ = beam_search_batch(jnp.asarray(q), gd, cfg)
         d2 = ((q[:, None, :] - emb[None, :, :]) ** 2).sum(-1)
         truth = np.argsort(d2, axis=1)[:, :10]
         rec = np.mean([len(set(a) & set(b.tolist())) for a, b in zip(np.asarray(labels).tolist(), truth)]) / 10

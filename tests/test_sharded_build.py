@@ -82,7 +82,7 @@ class TestShardedBuildGraph:
             )
             cfg = BeamConfig(metric="l2", k=k, complexity=64, beam=4, max_steps=64,
                              traversal="stored")
-            labels, _, _ = beam_search_batch(jnp.asarray(q), gd, cfg)
+            labels, _, _, _ = beam_search_batch(jnp.asarray(q), gd, cfg)
             return _recall(np.asarray(labels), truth)
 
         rec_s, rec_1 = search_recall(g_s), search_recall(g_1)
