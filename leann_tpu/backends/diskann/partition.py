@@ -40,17 +40,15 @@ def _load_lib():
             return _lib
         if _build_failed:
             return None
-        if not os.path.exists(_LIB_PATH):
-            if not os.path.exists(os.path.join(_CSRC, "ldg_partition.cpp")):
-                _build_failed = True
-                return None
-            try:
-                subprocess.run(["make", "-C", _CSRC, "libldg_partition.so"],
-                               check=True, capture_output=True, timeout=120)
-            except (subprocess.CalledProcessError, subprocess.TimeoutExpired, FileNotFoundError) as e:
-                logger.warning("native LDG build failed (%s); using Python fallback", e)
-                _build_failed = True
-                return None
+        try:
+            from ...runtime.native import ensure_built
+
+            ensure_built("ldg_partition")
+        except (subprocess.CalledProcessError, subprocess.TimeoutExpired,
+                FileNotFoundError, OSError) as e:
+            logger.warning("native LDG build failed (%s); using Python fallback", e)
+            _build_failed = True
+            return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
             lib.ldg_partition.restype = ctypes.c_int

@@ -29,14 +29,14 @@ def _load():
     with _lock:
         if _lib is not None or _failed:
             return _lib
-        if not os.path.exists(_LIB_PATH):
-            try:
-                subprocess.run(["make", "-C", _CSRC, "libhash_tokenizer.so"],
-                               check=True, capture_output=True, timeout=120)
-            except Exception as e:
-                logger.debug("native tokenizer build failed: %s", e)
-                _failed = True
-                return None
+        try:
+            from .native import ensure_built
+
+            ensure_built("hash_tokenizer")
+        except Exception as e:
+            logger.debug("native tokenizer build failed: %s", e)
+            _failed = True
+            return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError as e:

@@ -33,16 +33,15 @@ def _load_lib() -> Optional[ctypes.CDLL]:
             return _lib
         if _build_failed:
             return None
-        if not os.path.exists(_LIB_PATH):
-            if not os.path.exists(os.path.join(_CSRC, "passage_store.cpp")):
-                _build_failed = True
-                return None
-            try:
-                subprocess.run(["make", "-C", _CSRC], check=True, capture_output=True, timeout=120)
-            except (subprocess.CalledProcessError, subprocess.TimeoutExpired, FileNotFoundError) as e:
-                logger.warning("native passage store build failed (%s); using Python fallback", e)
-                _build_failed = True
-                return None
+        try:
+            from .native import ensure_built
+
+            ensure_built("passage_store")
+        except (subprocess.CalledProcessError, subprocess.TimeoutExpired,
+                FileNotFoundError, OSError) as e:
+            logger.warning("native passage store build failed (%s); using Python fallback", e)
+            _build_failed = True
+            return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError as e:
