@@ -23,6 +23,94 @@ class LLMInterface(ABC):
     def ask(self, prompt: str, system: Optional[str] = None, **kwargs) -> str: ...
 
 
+# ---------------------------------------------------------------------------
+# Model validation + fuzzy suggestions (reference chat.py:20-250)
+# ---------------------------------------------------------------------------
+
+
+def list_local_ollama_models(host: str = "http://localhost:11434", timeout: float = 5) -> list:
+    """Names of models installed in the local Ollama; [] when unreachable
+    (validation then degrades to assume-exists, like the reference's remote
+    check does on scrape failure, chat.py:88-92)."""
+    import json
+    import urllib.request
+
+    try:
+        with urllib.request.urlopen(f"{host}/api/tags", timeout=timeout) as r:
+            data = json.loads(r.read())
+        return [m.get("name", "") for m in data.get("models", [])]
+    except Exception:
+        return []
+
+
+def suggest_similar_models(query: str, available: list, n: int = 3) -> list:
+    """Layered fuzzy match (reference search_ollama_models_fuzzy,
+    chat.py:96-170): exact -> prefix -> substring -> version-stripped base
+    name -> difflib close matches."""
+    import difflib
+
+    q = query.lower()
+    out: list = []
+
+    def add(models):
+        for m in models:
+            if m not in out:
+                out.append(m)
+
+    add(m for m in available if m.lower() == q)
+    add(m for m in available if m.lower().startswith(q))
+    add(m for m in available if q in m.lower())
+    base = q.split(":")[0]
+    add(m for m in available if m.lower().split(":")[0] == base)
+    add(difflib.get_close_matches(q, [m for m in available if m not in out], n=n, cutoff=0.3))
+    return out[:n]
+
+
+def validate_ollama_chat_model(model: str, host: str = "http://localhost:11434") -> str:
+    """Resolve ``model`` against the local Ollama library (exact or
+    version-tagged). Unknown names raise with a pull hint and fuzzy
+    suggestions; an unreachable server validates permissively (the error
+    surfaces on first ask with full context)."""
+    available = list_local_ollama_models(host)
+    if not available:
+        return model
+    for name in available:
+        if model == name or model == name.split(":")[0]:
+            return name
+    sugg = suggest_similar_models(model, available)
+    hint = f" Did you mean: {', '.join(sugg)}?" if sugg else ""
+    raise ValueError(
+        f"Ollama model {model!r} not found locally. Install it with `ollama pull {model}`.{hint}"
+    )
+
+
+# Curated suggestions when an HF checkpoint can't be found — parity with the
+# reference's offline fallback list (chat.py:106-120)
+POPULAR_HF_MODELS = [
+    "Qwen/Qwen3-0.6B", "Qwen/Qwen2.5-1.5B-Instruct", "meta-llama/Llama-3.2-1B-Instruct",
+    "microsoft/Phi-3-mini-4k-instruct", "google/gemma-2-2b-it", "mistralai/Mistral-7B-Instruct-v0.3",
+    "TinyLlama/TinyLlama-1.1B-Chat-v1.0", "HuggingFaceTB/SmolLM2-1.7B-Instruct",
+]
+
+
+def validate_hf_model(model: str) -> str:
+    """A usable HF chat model is a local directory or a checkpoint already in
+    the HF cache (this image has zero egress — nothing can be downloaded).
+    Raises with fuzzy suggestions from the curated list otherwise."""
+    if os.path.isdir(model):
+        return model
+    cache = os.environ.get("HF_HOME", os.path.expanduser("~/.cache/huggingface"))
+    cached = os.path.join(cache, "hub", "models--" + model.replace("/", "--"))
+    if os.path.isdir(cached):
+        return model
+    sugg = suggest_similar_models(model, POPULAR_HF_MODELS)
+    hint = f" Similar known models: {', '.join(sugg)}." if sugg else ""
+    raise ValueError(
+        f"HF model {model!r} is neither a local path nor in the HF cache "
+        f"(no network egress to download it).{hint}"
+    )
+
+
 class SimulatedChat(LLMInterface):
     """Deterministic canned responses; echoes a slice of retrieved context so
     RAG tests can assert the context actually reached the LLM."""
@@ -123,15 +211,22 @@ def get_llm(config: Dict[str, Any]) -> LLMInterface:
     """Factory (reference chat.py:816-854). ``config = {"type": ..., "model": ..., ...}``."""
     llm_type = (config.get("type") or "simulated").lower()
     model = config.get("model")
+    validate = config.get("validate", True)
     if llm_type == "simulated":
         return SimulatedChat()
     if llm_type == "ollama":
-        return OllamaChat(model=model or "llama3.2:1b", host=config.get("host", "http://localhost:11434"),
-                          thinking_budget=config.get("thinking_budget"))
+        host = config.get("host", "http://localhost:11434")
+        m = model or "llama3.2:1b"
+        if validate:
+            m = validate_ollama_chat_model(m, host=host)
+        return OllamaChat(model=m, host=host, thinking_budget=config.get("thinking_budget"))
     if llm_type == "openai":
         return OpenAIChat(model=model or "gpt-4o-mini", thinking_budget=config.get("thinking_budget"))
     if llm_type == "gemini":
         return GeminiChat(model=model or "gemini-2.0-flash")
     if llm_type == "hf":
-        return HFChat(model=model or "Qwen/Qwen3-0.6B")
+        m = model or "Qwen/Qwen3-0.6B"
+        if validate:
+            m = validate_hf_model(m)
+        return HFChat(model=m)
     raise ValueError(f"Unknown LLM type {llm_type!r}")
