@@ -199,10 +199,12 @@ def create_ast_chunks(
     documents: Sequence[Dict[str, Any]],
     max_chunk_size: int = 512,
     chunk_overlap: int = 64,
+    fallback_traditional: bool = True,
 ) -> List[Dict[str, Any]]:
     """documents: [{"text", "metadata": {"file_path": ...}}]. Per-document
     fallback to traditional chunking on parse failure (reference
-    utils.py:87-178)."""
+    utils.py:87-178); ``fallback_traditional=False`` re-raises instead
+    (reference utils.py:299-306)."""
     out: List[Dict[str, Any]] = []
     for doc in documents:
         text = doc.get("text", "")
@@ -216,6 +218,8 @@ def create_ast_chunks(
             else:
                 raise ValueError("not a code file")
         except (SyntaxError, ValueError) as e:
+            if not fallback_traditional:
+                raise
             logger.debug("ast chunking fell back for %s: %s", md.get("file_path"), e)
             chunks = [c["text"] for c in create_traditional_chunks([text], max_chunk_size, chunk_overlap)]
         for c in chunks:
@@ -231,6 +235,7 @@ def create_text_chunks(
     ast_chunk_size: int = 512,
     ast_chunk_overlap: int = 64,
     code_file_extensions: Optional[Sequence[str]] = None,
+    ast_fallback_traditional: bool = True,
 ) -> List[Dict[str, Any]]:
     """Unified entry (reference utils.py:231-320): routes code files to AST
     chunking when enabled, everything else to traditional chunking."""
@@ -246,7 +251,8 @@ def create_text_chunks(
 
         ext = os.path.splitext(d.get("metadata", {}).get("file_path", ""))[1].lower()
         (code_docs if ext in exts else text_docs).append(d)
-    out = create_ast_chunks(code_docs, ast_chunk_size, ast_chunk_overlap)
+    out = create_ast_chunks(code_docs, ast_chunk_size, ast_chunk_overlap,
+                            fallback_traditional=ast_fallback_traditional)
     out += create_traditional_chunks(
         [d.get("text", "") for d in text_docs], chunk_size, chunk_overlap,
         [d.get("metadata", {}) for d in text_docs],

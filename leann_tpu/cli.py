@@ -91,8 +91,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="AST chunk size (0 = use --code-chunk-size)")
     b.add_argument("--ast-chunk-overlap", type=int, default=-1,
                    help="AST chunk overlap (-1 = use --code-chunk-overlap)")
-    b.add_argument("--ast-fallback-traditional", action="store_true", default=True,
-                   help="fall back to traditional chunking when AST parse fails (default on)")
+    b.add_argument("--ast-fallback-traditional", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="fall back to traditional chunking when AST parse fails "
+                        "(--no-ast-fallback-traditional raises instead)")
     b.add_argument("--file-types", nargs="+", default=None)
     b.add_argument("--include-hidden", action="store_true")
     b.add_argument("--no-gitignore", action="store_true")
@@ -164,6 +166,7 @@ def cmd_build(args) -> int:
         ast_chunk_size=args.ast_chunk_size or args.code_chunk_size,
         ast_chunk_overlap=(args.ast_chunk_overlap if args.ast_chunk_overlap >= 0
                            else args.code_chunk_overlap),
+        ast_fallback_traditional=args.ast_fallback_traditional,
     )
     print(f"Loaded {len(docs)} documents -> {len(chunks)} chunks")
     bk = {}

@@ -197,20 +197,36 @@ def exact_knn(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters",))
-def _kmeans_full(x: jnp.ndarray, init: jnp.ndarray, n_iters: int) -> jnp.ndarray:
-    """Lloyd's k-means over full-D rows: x [S, D], init [K, D] -> [K, D].
-    One batched distance matmul per iteration (MXU)."""
+@functools.partial(jax.jit, static_argnames=("n_iters", "block"))
+def _kmeans_full(x: jnp.ndarray, init: jnp.ndarray, n_valid: jnp.ndarray,
+                 n_iters: int, block: int = 4096) -> jnp.ndarray:
+    """Lloyd's k-means: x [S, D] (S a multiple of ``block``; rows >= n_valid
+    are padding), init [K, D] -> [K, D].
+
+    Assignments are computed per ``block`` inside a scan and accumulated with
+    ``segment_sum`` — a materialized [S, K] one_hot matrix is ~17 GB at
+    S=K=65536 (per Lloyd iteration), beyond single-chip HBM at exactly the
+    scale where cluster bootstrap runs (n > EXACT_KNN_MAX_N). Peak here is the
+    transient [block, K] distance tile. Padding rows are routed to an extra
+    segment K and dropped."""
+    s_total, d = x.shape
+    k = init.shape[0]
 
     def step(c, _):
-        d = (
-            jnp.sum(x * x, axis=1, keepdims=True)
-            - 2.0 * jnp.dot(x, c.T, preferred_element_type=jnp.float32)
-            + jnp.sum(c * c, axis=1)[None, :]
-        )
-        one_hot = jax.nn.one_hot(jnp.argmin(d, axis=1), c.shape[0], dtype=jnp.float32)
-        counts = jnp.sum(one_hot, axis=0)
-        sums = jnp.dot(one_hot.T, x, preferred_element_type=jnp.float32)
+        cn = jnp.sum(c * c, axis=1)
+        cbf = c.astype(jnp.bfloat16)
+
+        def blk(carry, bi):
+            xb = jax.lax.dynamic_slice(x, (bi * block, 0), (block, d))
+            dots = jnp.dot(xb.astype(jnp.bfloat16), cbf.T, preferred_element_type=jnp.float32)
+            a = jnp.argmin(cn[None, :] - 2.0 * dots, axis=1).astype(jnp.int32)
+            rows = bi * block + jax.lax.iota(jnp.int32, block)
+            return carry, jnp.where(rows < n_valid, a, k)
+
+        _, a = jax.lax.scan(blk, None, jnp.arange(s_total // block))
+        a = a.reshape(s_total)
+        sums = jax.ops.segment_sum(x, a, num_segments=k + 1)[:k]
+        counts = jax.ops.segment_sum(jnp.ones((s_total,), jnp.float32), a, num_segments=k + 1)[:k]
         return jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), c), None
 
     c, _ = jax.lax.scan(step, init, None, length=n_iters)
@@ -278,7 +294,10 @@ def cluster_window_init(
     n_clusters = max(8, min(n // points_per_cluster, 65536))
     sample = emb[rng.choice(n, min(kmeans_sample, n), replace=False)]
     init_c = sample[rng.choice(sample.shape[0], n_clusters, replace=False)]
-    cent = _kmeans_full(jnp.asarray(sample), jnp.asarray(init_c), kmeans_iters)
+    km_block = 4096
+    s_pad = _bucket_rows(sample.shape[0], km_block)
+    cent = _kmeans_full(jnp.asarray(_pad_rows(sample, s_pad)), jnp.asarray(init_c),
+                        jnp.int32(sample.shape[0]), kmeans_iters, block=km_block)
 
     block = 8192
     np_total = _bucket_rows(n, block)

@@ -163,3 +163,35 @@ class TestUpdateIndex:
         u.add_text("new chunk")
         with pytest.raises(NotImplementedError):
             u.update_index(path)
+
+
+class TestEntryPoolGrowth:
+    def test_insert_grows_pool_with_builder_rule(self, tmp_path, rng):
+        """insert_hnsw must grow the entry pool by the SAME n/16-up-to-32768
+        rule the builder uses (post-insert N), so seed coverage of appended
+        ranges doesn't silently degrade (round-1 advisor finding: fixed 4096
+        cap froze pools >65K and over-grew small ones)."""
+        from leann_tpu.backends.hnsw.backend import _pool_cap
+
+        docs = _mk_docs(rng, 600, "base")
+        path = str(tmp_path / "pool.leann")
+        b = LeannBuilder(backend_name="hnsw", embedding_model="hash-tiny", max_length=32, M=8)
+        for d in docs:
+            b.add_text(d)
+        b.build_index(path)
+        z0 = np.load(path + ".hnsw.npz", allow_pickle=False)
+        pool0 = z0["entries"].shape[0]
+        assert pool0 <= _pool_cap(600)
+
+        b2 = LeannBuilder(backend_name="hnsw", embedding_model="hash-tiny", max_length=32, M=8)
+        for d in _mk_docs(rng, 400, "new"):
+            b2.add_text(d)
+        b2.update_index(path)
+        z1 = np.load(path + ".hnsw.npz", allow_pickle=False)
+        pool1 = z1["entries"].shape[0]
+        assert pool1 > pool0, "pool must grow toward the builder cap on insert"
+        assert pool1 <= _pool_cap(1000)
+        # grown entries must cover the appended id range and stay aligned
+        assert (z1["entries"] >= 600).any()
+        if "entry_emb" in z1:
+            assert z1["entry_emb"].shape[0] == pool1

@@ -70,6 +70,19 @@ class TestChunking:
         chunks = create_ast_chunks([{"text": "def broken(:\n  pass", "metadata": {"file_path": "b.py"}}])
         assert chunks and chunks[0]["text"]
 
+    def test_ast_fallback_disabled_raises(self):
+        """--no-ast-fallback-traditional semantics (reference utils.py:299-306:
+        fallback off -> the parse error propagates)."""
+        import pytest
+
+        from leann_tpu.chunking import create_ast_chunks, create_text_chunks
+
+        bad = [{"text": "def broken(:\n  pass", "metadata": {"file_path": "b.py"}}]
+        with pytest.raises(SyntaxError):
+            create_ast_chunks(bad, fallback_traditional=False)
+        with pytest.raises(SyntaxError):
+            create_text_chunks(bad, use_ast_chunking=True, ast_fallback_traditional=False)
+
     def test_heuristic_code_chunking(self):
         from leann_tpu.chunking import create_ast_chunks
 
