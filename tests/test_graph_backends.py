@@ -339,7 +339,7 @@ class TestPruningStrategies:
         b.build_index(prefix)
         return prefix, texts
 
-    def _run(self, prefix, queries_emb, strategy):
+    def _run(self, prefix, queries_emb, strategy, prune_ratio=0.5):
         import jax.numpy as jnp
 
         from leann_tpu.backends.hnsw.backend import HnswSearcher
@@ -347,7 +347,7 @@ class TestPruningStrategies:
 
         s = HnswSearcher(prefix)
         cfg, enc_params = s._make_cfg(
-            top_k=5, complexity=32, beam_width=4, prune_ratio=0.5,
+            top_k=5, complexity=32, beam_width=4, prune_ratio=prune_ratio,
             recompute_embeddings=True, pruning_strategy=strategy, batch_size=0,
         )
         assert cfg.prune_keep > 0 and cfg.prune_strategy == strategy
@@ -369,8 +369,13 @@ class TestPruningStrategies:
         # proportional scales the exact budget with fresh-candidate count ->
         # strictly fewer recomputes than global's fixed per-hop budget
         assert out["proportional"][2] < out["global"][2]
-        # local hands slots per source node -> different traversal than global
-        assert not np.allclose(out["local"][1], out["global"][1])
+        # local hands slots per source node -> different traversal than
+        # global. At mild prune ratios both converge on a small corpus, so
+        # discriminate under a harsh budget (keep = ~10% of the expansion
+        # set, ~1 slot per source row)
+        harsh_g = self._run(prefix, q, "global", prune_ratio=0.9)
+        harsh_l = self._run(prefix, q, "local", prune_ratio=0.9)
+        assert not np.allclose(harsh_l[1], harsh_g[1])
 
     def test_strategies_keep_recall(self, built):
         from leann_tpu.embeddings.encoder import get_encoder
