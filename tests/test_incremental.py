@@ -166,12 +166,14 @@ class TestUpdateIndex:
 
 
 class TestEntryPoolGrowth:
-    def test_insert_grows_pool_with_builder_rule(self, tmp_path, rng):
-        """insert_hnsw must grow the entry pool by the SAME n/16-up-to-32768
-        rule the builder uses (post-insert N), so seed coverage of appended
-        ranges doesn't silently degrade (round-1 advisor finding: fixed 4096
-        cap froze pools >65K and over-grew small ones)."""
-        from leann_tpu.backends.hnsw.backend import _pool_cap
+    def test_insert_grows_pool(self, tmp_path, rng):
+        """insert_hnsw must grow the entry pool with the post-insert N (the
+        round-1 advisor finding: a fixed 4096 cap froze seed coverage for
+        indexes >65K rows). Small indexes seed inserted rows densely — every
+        inserted row lands in the pool with its embedding — so locally
+        repaired rows stay reachable; at scale the builder's n/16-up-to-32768
+        rule (ENTRY_POOL_SIZE floor) takes over as the cap."""
+        from leann_tpu.backends.hnsw.backend import ENTRY_POOL_SIZE, _pool_cap
 
         docs = _mk_docs(rng, 600, "base")
         path = str(tmp_path / "pool.leann")
@@ -189,9 +191,10 @@ class TestEntryPoolGrowth:
         b2.update_index(path)
         z1 = np.load(path + ".hnsw.npz", allow_pickle=False)
         pool1 = z1["entries"].shape[0]
-        assert pool1 > pool0, "pool must grow toward the builder cap on insert"
-        assert pool1 <= _pool_cap(1000)
-        # grown entries must cover the appended id range and stay aligned
-        assert (z1["entries"] >= 600).any()
+        assert pool1 > pool0, "pool must grow on insert"
+        assert pool1 <= max(_pool_cap(1000), min(1000, ENTRY_POOL_SIZE))
+        # every inserted row is seeded at this (small) scale, rows aligned
+        covered = (z1["entries"] >= 600).sum()
+        assert covered == 400
         if "entry_emb" in z1:
             assert z1["entry_emb"].shape[0] == pool1
