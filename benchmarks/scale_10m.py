@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""10M-chunk scale demonstration — the first waypoint toward the reference's
+60M rpj_wiki headline (README.md:685-687: 201 GB flat -> 6 GB LEANN).
+
+At this scale the build must stream: the f32 embedding matrix (~15 GB at
+10M x 384) exceeds single-chip HBM, so graph candidates come from the
+streamed multi-probe window pass (ops/graph.py spill_knn_streamed), pruning
+runs against a bf16-only device copy, and the oracle is a host-blocked
+matmul. Embeddings are computed ONCE and fed through
+``build_index_from_embeddings(texts=...)`` (which still writes the token
+store for on-chip recompute).
+
+Reports one JSON line: build phase times, all-in index bytes vs the flat f32
+baseline, recall@3 vs the exact oracle, single-query p50, batched ms/query.
+"""
+
+import argparse
+import json
+import logging
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(1, os.path.dirname(os.path.abspath(__file__)))
+
+from scale_500k import synth_corpus  # noqa: E402
+
+from leann_tpu import LeannBuilder, LeannSearcher  # noqa: E402
+from leann_tpu.embeddings.encoder import get_encoder  # noqa: E402
+
+
+def host_oracle(emb_n: np.ndarray, qv: np.ndarray, k: int, block: int = 1 << 20) -> np.ndarray:
+    """Exact cosine top-k by host-blocked matmul (the [N, D] matrix does not
+    fit in HBM at this scale). emb_n and qv must both be L2-normalized."""
+    nq = qv.shape[0]
+    best_d = np.full((nq, k), -np.inf, np.float32)
+    best_i = np.full((nq, k), -1, np.int64)
+    for s in range(0, emb_n.shape[0], block):
+        sims = qv @ emb_n[s : s + block].T  # [nq, block]
+        cat_d = np.concatenate([best_d, sims], axis=1)
+        cat_i = np.concatenate(
+            [best_i, np.broadcast_to(np.arange(s, s + sims.shape[1]), sims.shape)], axis=1
+        )
+        top = np.argpartition(-cat_d, k - 1, axis=1)[:, :k]
+        best_d = np.take_along_axis(cat_d, top, 1)
+        best_i = np.take_along_axis(cat_i, top, 1)
+    order = np.argsort(-best_d, axis=1)
+    return np.take_along_axis(best_i, order, 1)
+
+
+def main():
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-chunks", type=int, default=10_000_000)
+    ap.add_argument("--max-length", type=int, default=64)
+    ap.add_argument("--graph-degree", type=int, default=24)
+    ap.add_argument("--n-queries", type=int, default=64)
+    ap.add_argument("--complexity", type=int, default=1024)
+    ap.add_argument("--beam-width", type=int, default=16)
+    ap.add_argument("--rerank-size", type=int, default=64)
+    ap.add_argument("--out-dir", default="")
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(0)
+    phases = {}
+
+    t0 = time.time()
+    chunks = synth_corpus(args.n_chunks, rng)
+    phases["corpus_s"] = round(time.time() - t0, 1)
+    print(f"[{phases['corpus_s']}s] corpus: {len(chunks)}", flush=True)
+
+    enc = get_encoder("hash-minilm", max_length=args.max_length)
+    t0 = time.time()
+    emb = enc.encode(chunks, batch_size=4096)
+    phases["encode_s"] = round(time.time() - t0, 1)
+    print(f"[{phases['encode_s']}s] encoded {emb.shape}", flush=True)
+
+    out_dir = args.out_dir or tempfile.mkdtemp(prefix="leann_10m_")
+    prefix = os.path.join(out_dir, "big10m.leann")
+    b = LeannBuilder(
+        backend_name="diskann", embedding_model="hash-minilm",
+        max_length=args.max_length, distance_metric="cosine",
+        graph_degree=args.graph_degree,
+    )
+    t0 = time.time()
+    b.build_index_from_embeddings(prefix, [str(i) for i in range(len(chunks))], emb,
+                                  texts=chunks)
+    phases["build_s"] = round(time.time() - t0, 1)
+    print(f"[{phases['build_s']}s] index built", flush=True)
+
+    # all-in accounting (everything needed to search; text excluded)
+    idx_bytes = sum(
+        os.path.getsize(os.path.join(out_dir, f))
+        for f in os.listdir(out_dir)
+        if f.startswith(os.path.basename(prefix)) and ".passages." not in f
+    )
+    flat_bytes = emb.shape[0] * emb.shape[1] * 4
+
+    q_idx = rng.choice(len(chunks), args.n_queries, replace=False)
+    queries = [" ".join(chunks[i].split()[:12]) for i in q_idx]
+    del chunks  # free ~3 GB before search
+
+    s = LeannSearcher(prefix)
+    kw = dict(top_k=3, complexity=args.complexity, beam_width=args.beam_width,
+              rerank_size=args.rerank_size, n_entries=128)
+    s.search(queries[0], **kw)  # compile warmup
+    lat, labels = [], []
+    for q in queries[:32]:
+        t0 = time.time()
+        res = s.search(q, **kw)
+        lat.append((time.time() - t0) * 1000)
+        labels.append([int(r.id) for r in res])
+    p50 = float(np.percentile(lat, 50))
+    print(f"p50 {p50:.1f} ms", flush=True)
+
+    s.search(queries, **kw)
+    t0 = time.time()
+    res_b = s.search(queries, **kw)
+    batched = (time.time() - t0) * 1000 / len(queries)
+    labels_b = [[int(r.id) for r in row] for row in res_b]
+    print(f"batched {batched:.2f} ms/q", flush=True)
+
+    # exact oracle on the SAME embeddings (normalized, cosine)
+    t0 = time.time()
+    emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    qv = enc.encode(queries)
+    qv /= np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
+    truth = host_oracle(emb, qv, 3)
+    phases["oracle_s"] = round(time.time() - t0, 1)
+
+    def recall(lbls, tr):
+        hits = sum(len(set(l) & set(t.tolist())) for l, t in zip(lbls, tr))
+        return hits / (3 * len(lbls))
+
+    print(json.dumps({
+        "n_chunks": emb.shape[0],
+        **phases,
+        "p50_ms": round(p50, 2),
+        "batched_ms_per_query": round(batched, 2),
+        "recall_at_3": round(recall(labels, truth[:32]), 4),
+        "batched_recall_at_3": round(recall(labels_b, truth), 4),
+        "index_bytes": idx_bytes,
+        "flat_baseline_bytes": flat_bytes,
+        "storage_savings_vs_flat": round(1 - idx_bytes / flat_bytes, 4),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -10,9 +10,13 @@ both paths are self-contained:
 * prose: sentence-aware packing with token(≈word)-budget ``chunk_size`` and
   ``chunk_overlap`` carry-over.
 * code: Python files are chunked along real AST boundaries (stdlib ``ast``);
-  other languages use indentation/brace-aware heuristic block splitting with
-  per-document fallback to traditional chunking, mirroring the reference's
-  fallback behavior (utils.py:87-178).
+  brace-family languages (JS/TS/Java/Go/Rust/C/C++/C#/Kotlin/Swift/Scala/PHP)
+  go through a real lexer (_scan_code_events: comment/string/template-literal
+  tracking + matched-brace depth) that yields top-level syntactic units and
+  descends into oversized classes method-by-method with the enclosing header
+  as context; remaining languages use heuristic block splitting. Parse errors
+  fall back per-document to traditional chunking, mirroring the reference
+  (utils.py:87-178).
 """
 
 from __future__ import annotations
@@ -169,6 +173,163 @@ _BLOCK_START = re.compile(
 )
 
 
+# languages whose structure the brace lexer parses for real (the rest keep
+# the line heuristic below)
+_BRACE_LANGS = {
+    "javascript", "typescript", "java", "c", "cpp", "c_sharp", "go", "rust",
+    "kotlin", "swift", "scala", "php",
+}
+
+
+def _skip_string(source: str, i: int, quote: str, multiline: bool) -> int:
+    """Return the index just past a string literal starting at ``i``; raises
+    on unterminated literals (parse failure -> traditional fallback)."""
+    n = len(source)
+    j = i + 1
+    while j < n:
+        c = source[j]
+        if c == "\\":
+            j += 2
+            continue
+        if c == quote:
+            return j + 1
+        if c == "\n" and not multiline:
+            raise ValueError(f"unterminated string at offset {i}")
+        j += 1
+    raise ValueError(f"unterminated string at offset {i}")
+
+
+def _scan_code_events(source: str, lang: str) -> List[Tuple[int, str, int]]:
+    """Single-pass lexer over a brace-family source: tracks line/block
+    comments, string/char/template literals, and brace depth. Returns
+    ``(index, char, depth)`` events for every structural ``{`` / ``}`` (depth
+    BEFORE the open, AFTER the close — i.e. the nesting level of the block)
+    and every depth-0 ``;``. Raises ValueError on unbalanced braces or
+    unterminated literals — real parse errors, handled by the caller's
+    fallback exactly like a tree-sitter failure would be."""
+    i, n, depth = 0, len(source), 0
+    out: List[Tuple[int, str, int]] = []
+    backtick_langs = ("javascript", "typescript", "go")
+    while i < n:
+        c = source[i]
+        two = source[i : i + 2]
+        if two == "//" or (lang == "php" and c == "#"):
+            j = source.find("\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        if two == "/*":
+            j = source.find("*/", i + 2)
+            if j < 0:
+                raise ValueError("unterminated block comment")
+            i = j + 2
+            continue
+        if c == '"':
+            # single-line strings; a multi-line raw literal raises and the
+            # document degrades to traditional chunking (same as a parse fail)
+            i = _skip_string(source, i, c, multiline=False)
+            continue
+        if c == "`" and lang in backtick_langs:
+            # template/raw literal: interpolated ${...} braces are balanced,
+            # and both sides are skipped, so depth stays consistent
+            i = _skip_string(source, i, c, multiline=True)
+            continue
+        if c == "'":
+            if lang == "rust":
+                # lifetime ('a) vs char literal ('x' / '\n'): only consume
+                # when a closing quote sits within escape distance
+                if i + 2 < n and source[i + 2] == "'" and source[i + 1] != "\\":
+                    i += 3
+                elif i + 3 < n and source[i + 1] == "\\" and source[i + 3] == "'":
+                    i += 4
+                else:
+                    i += 1
+                continue
+            i = _skip_string(source, i, c, multiline=False)
+            continue
+        if c == "{":
+            out.append((i, "{", depth))
+            depth += 1
+        elif c == "}":
+            depth -= 1
+            if depth < 0:
+                raise ValueError(f"unbalanced '}}' at offset {i}")
+            out.append((i, "}", depth))
+        elif c == ";" and depth == 0:
+            out.append((i, ";", 0))
+        i += 1
+    if depth != 0:
+        raise ValueError("unbalanced braces at EOF")
+    return out
+
+
+def _top_level_units(source: str, lang: str) -> List[str]:
+    """Split into top-level syntactic units: each ends just past a depth-0
+    closing brace (+ optional ';') or a depth-0 statement ';'."""
+    events = _scan_code_events(source, lang)
+    cuts = []
+    for idx, ch, depth in events:
+        if (ch == "}" and depth == 0) or ch == ";":
+            end = idx + 1
+            if ch == "}" and end < len(source) and source[end] == ";":
+                end += 1  # `};` terminators stay with their block
+            cuts.append(end)
+    units, prev = [], 0
+    for c in cuts:
+        if c <= prev:
+            continue
+        if source[prev:c].strip():
+            units.append(source[prev:c].strip("\n"))
+        prev = c
+    if source[prev:].strip():
+        units.append(source[prev:].strip("\n"))
+    return units
+
+
+def _structural_code_chunks(source: str, lang: str, max_chunk_size: int,
+                            header: str = "", depth: int = 0) -> List[str]:
+    """AST-boundary chunking for brace-family languages: top-level units
+    (functions, classes, statements) pack into ~max_chunk_size-word chunks;
+    an oversized unit descends into its outermost brace block (e.g. class ->
+    methods), each child chunk prefixed with the enclosing header for context
+    (the astchunk behavior the reference relies on, utils.py:87-178)."""
+    units = _top_level_units(source, lang)
+    chunks: List[str] = []
+    cur = ""
+
+    def flush():
+        nonlocal cur
+        if cur.strip():
+            chunks.append(header + cur if header else cur)
+        cur = ""
+
+    for unit in units:
+        w = _words(unit)
+        if w > max_chunk_size and depth < 4:
+            flush()
+            ev = _scan_code_events(unit, lang)
+            open_ = next((i for i, ch, dp in ev if ch == "{" and dp == 0), None)
+            close = next((i for i, ch, dp in reversed(ev) if ch == "}" and dp == 0), None)
+            if open_ is not None and close is not None and close > open_ + 1:
+                head = unit[:open_].strip()
+                body = unit[open_ + 1 : close]
+                sub_header = (header + head + " {\n") if head else header
+                sub = _structural_code_chunks(body, lang, max_chunk_size,
+                                              header=sub_header, depth=depth + 1)
+                if len(sub) > 1 or (sub and _words(sub[0]) <= max_chunk_size * 2):
+                    chunks.extend(sub)
+                    continue
+            # no block to descend into: hard-split by words
+            words = unit.split()
+            for s in range(0, len(words), max_chunk_size):
+                chunks.append((header or "") + " ".join(words[s : s + max_chunk_size]))
+            continue
+        if cur and _words(cur) + w > max_chunk_size:
+            flush()
+        cur = cur + "\n" + unit if cur else unit
+    flush()
+    return chunks
+
+
 def _heuristic_code_chunks(source: str, max_chunk_size: int) -> List[str]:
     """Language-agnostic block splitter: break at column-0 block starters."""
     lines = source.splitlines()
@@ -213,6 +374,8 @@ def create_ast_chunks(
         try:
             if lang == "python":
                 chunks = _python_ast_chunks(text, max_chunk_size)
+            elif lang in _BRACE_LANGS:
+                chunks = _structural_code_chunks(text, lang, max_chunk_size)
             elif lang:
                 chunks = _heuristic_code_chunks(text, max_chunk_size)
             else:

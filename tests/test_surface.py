@@ -250,3 +250,76 @@ class TestBrowserReader:
         conn.close()
         entries = load_history([str(db)])
         assert entries[0]["title"] == "JAX docs"
+
+
+class TestStructuralCodeChunking:
+    """Lexer-based chunking for brace-family languages (replaces the line
+    heuristic for JS/TS/Java/Go/Rust/C-family): matched-brace units, string/
+    comment awareness, class descent with header context."""
+
+    def test_java_class_descends_into_methods(self):
+        from leann_tpu.chunking import create_ast_chunks
+
+        methods = "\n".join(
+            f"    public int method{i}() {{\n        int x{i} = {i} * compute_some_value_{i}(alpha, beta, gamma);\n        return x{i} + offset_{i};\n    }}"
+            for i in range(12)
+        )
+        src = f"public class Big {{\n{methods}\n}}\n"
+        chunks = create_ast_chunks([{"text": src, "metadata": {"file_path": "Big.java"}}],
+                                   max_chunk_size=40)
+        assert len(chunks) > 2
+        # every descended chunk carries the class header for context
+        assert all(c["text"].startswith("public class Big {") for c in chunks)
+        # method bodies are not split mid-signature
+        assert any("method0" in c["text"] for c in chunks)
+        assert any("method11" in c["text"] for c in chunks)
+
+    def test_js_template_literal_braces_ignored(self):
+        from leann_tpu.chunking import _top_level_units
+
+        src = 'function a() {\n  const s = `hello ${ {deep: "}"} } world`;\n}\nfunction b() { return 2; }\n'
+        units = _top_level_units(src, "javascript")
+        assert len(units) == 2
+        assert units[0].startswith("function a")
+        assert units[1].startswith("function b")
+
+    def test_string_and_comment_braces_ignored(self):
+        from leann_tpu.chunking import _top_level_units
+
+        src = 'int f() {\n  // ignore } this\n  char* s = "also } {";\n  /* and } */\n  return 1;\n}\nint g() { return 2; }\n'
+        units = _top_level_units(src, "c")
+        assert len(units) == 2
+
+    def test_go_top_level_units(self):
+        from leann_tpu.chunking import _top_level_units
+
+        src = 'package main\n\nimport "fmt"\n\nfunc main() {\n\tfmt.Println(`raw } string`)\n}\n\nfunc helper() int {\n\treturn 1\n}\n'
+        units = _top_level_units(src, "go")
+        # Go has no top-level semicolons: package/import attach to the first
+        # func's unit; the two funcs land in separate units with the raw
+        # string's brace ignored
+        assert len(units) == 2
+        assert "func main" in units[0] and "func helper" in units[1]
+        assert "raw } string" in units[0]
+
+    def test_rust_lifetimes_not_strings(self):
+        from leann_tpu.chunking import _top_level_units
+
+        src = "fn get<'a>(x: &'a str) -> &'a str {\n    let c = 'x';\n    x\n}\nfn two() -> i32 { 2 }\n"
+        units = _top_level_units(src, "rust")
+        assert len(units) == 2
+
+    def test_unbalanced_falls_back(self):
+        from leann_tpu.chunking import create_ast_chunks
+
+        src = "function broken() { if (x) { return 1;\n"  # missing braces
+        chunks = create_ast_chunks([{"text": src, "metadata": {"file_path": "b.js"}}])
+        assert chunks and chunks[0]["text"]  # traditional fallback kicked in
+
+    def test_small_units_pack(self):
+        from leann_tpu.chunking import create_ast_chunks
+
+        src = "\n".join(f"const v{i} = {i};" for i in range(20)) + "\n"
+        chunks = create_ast_chunks([{"text": src, "metadata": {"file_path": "a.ts"}}],
+                                   max_chunk_size=30)
+        assert 1 <= len(chunks) <= 4  # statements packed, not one-per-chunk
