@@ -84,6 +84,11 @@ def main():
     ap.add_argument("--backend", default="diskann", choices=["diskann", "hnsw"])
     ap.add_argument("--complexity", type=int, default=256)
     ap.add_argument("--beam-width", type=int, default=16)
+    ap.add_argument("--rerank-size", type=int, default=64)
+    ap.add_argument("--n-entries", type=int, default=128)
+    ap.add_argument("--out-dir", default="",
+                    help="persist the index here and REUSE it if already built "
+                         "(sweep search params without paying the build)")
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -91,17 +96,21 @@ def main():
     chunks = synth_corpus(args.n_chunks, rng)
     print(f"[{time.time()-t0:7.1f}s] corpus generated: {len(chunks)}", flush=True)
 
-    tmp = tempfile.mkdtemp(prefix="leann_500k_")
+    tmp = args.out_dir or tempfile.mkdtemp(prefix="leann_500k_")
     prefix = os.path.join(tmp, "big.leann")
-    bkw = {"M": args.graph_degree} if args.backend == "hnsw" else {"graph_degree": args.graph_degree}
-    b = LeannBuilder(backend_name=args.backend, embedding_model="hash-minilm",
-                     max_length=args.max_length, **bkw)
-    for c in chunks:
-        b.add_text(c)
-    t0 = time.time()
-    b.build_index(prefix)
-    build_s = time.time() - t0
-    print(f"[{build_s:7.1f}s] index built", flush=True)
+    build_s = 0.0
+    if not os.path.exists(prefix + ".meta.json"):
+        bkw = {"M": args.graph_degree} if args.backend == "hnsw" else {"graph_degree": args.graph_degree}
+        b = LeannBuilder(backend_name=args.backend, embedding_model="hash-minilm",
+                         max_length=args.max_length, **bkw)
+        for c in chunks:
+            b.add_text(c)
+        t0 = time.time()
+        b.build_index(prefix)
+        build_s = time.time() - t0
+        print(f"[{build_s:7.1f}s] index built", flush=True)
+    else:
+        print("reusing existing index", flush=True)
 
     idx_bytes = os.path.getsize(prefix + f".{args.backend}.npz")
     tok_bytes = os.path.getsize(prefix + ".tokens.npz")
@@ -109,11 +118,12 @@ def main():
     s = LeannSearcher(prefix)
     q_idx = rng.choice(len(chunks), args.n_queries, replace=False)
     queries = [" ".join(chunks[i].split()[:12]) for i in q_idx]
-    kw = dict(top_k=3, complexity=args.complexity, beam_width=args.beam_width, n_entries=128)
+    kw = dict(top_k=3, complexity=args.complexity, beam_width=args.beam_width,
+              n_entries=args.n_entries)
     if args.backend == "hnsw":
         kw["prune_ratio"] = 0.75  # PQ-screened per-hop recompute
     else:
-        kw["rerank_size"] = 64  # PQ traversal + one deferred exact rerank
+        kw["rerank_size"] = args.rerank_size  # PQ traversal + deferred exact rerank
     s.search(queries[0], **kw)
     lat, labels = [], []
     for q in queries:
@@ -138,18 +148,27 @@ def main():
     batched = (time.time() - t0) * 1000 / len(queries)
     print(f"batched: {batched:.2f} ms/query", flush=True)
 
-    # exact ground truth over the same embeddings (blocked flat search)
+    # exact ground truth over the same embeddings (blocked flat search);
+    # cached next to a persistent index so sweeps don't re-encode the corpus
+    truth_path = os.path.join(tmp, "truth.npy")
     t0 = time.time()
-    emb = enc.encode(chunks, batch_size=1024)
-    emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
-    print(f"[{time.time()-t0:7.1f}s] oracle embeddings", flush=True)
-    n_pad = ((emb.shape[0] + 127) // 128) * 128
-    emb_p = np.concatenate([emb, np.zeros((n_pad - emb.shape[0], emb.shape[1]), np.float32)])
-    tl, td = flat_search(jnp.asarray(emb_p), jnp.asarray(qv), jnp.int32(emb.shape[0]), 3, "cosine")
-    truth = np.asarray(tl)
+    if os.path.exists(truth_path):
+        truth = np.load(truth_path)
+        emb = None
+        flat_bytes = len(chunks) * 384 * 4
+    else:
+        emb = enc.encode(chunks, batch_size=1024)
+        emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        print(f"[{time.time()-t0:7.1f}s] oracle embeddings", flush=True)
+        n_pad = ((emb.shape[0] + 127) // 128) * 128
+        emb_p = np.concatenate([emb, np.zeros((n_pad - emb.shape[0], emb.shape[1]), np.float32)])
+        tl, td = flat_search(jnp.asarray(emb_p), jnp.asarray(qv), jnp.int32(emb.shape[0]), 3, "cosine")
+        truth = np.asarray(tl)
+        if args.out_dir:
+            np.save(truth_path, truth)
+        flat_bytes = emb.nbytes
     hits = sum(len(set(l) & set(t.tolist())) for l, t in zip(labels, truth))
     recall = hits / (3 * len(queries))
-    flat_bytes = emb.nbytes
 
     print(json.dumps({
         "n_chunks": len(chunks),

@@ -43,7 +43,7 @@ from ...ops.beam_search import (
 from ...ops.graph import build_graph
 from ...ops.pq import choose_m, encode_pq_blocked, lift_codebooks, train_opq, train_pq
 from ...registry import register_backend
-from ..common import BaseSearcher, pad_batch_rows, save_ids
+from ..common import BaseSearcher, mips_augment, pad_batch_rows, save_ids
 from ..hnsw.backend import _entry_pool
 from .partition import edge_locality, ldg_partition
 
@@ -80,6 +80,7 @@ class DiskannBuilder(LeannBackendBuilderInterface):
     def build(self, data: np.ndarray, ids: list, index_path: str, **kwargs) -> None:
         data = np.ascontiguousarray(data, dtype=np.float32)
         n, d = data.shape
+        graph_data = mips_augment(data) if self.distance_metric == "mips" else data
         r = self.graph_degree
         cand_factor = max(2, min(8, self.complexity // max(r, 1)))
         if self.build_sharded:
@@ -87,10 +88,10 @@ class DiskannBuilder(LeannBackendBuilderInterface):
             from ...parallel.sharded_build import sharded_build_graph
 
             neighbors, medoid = sharded_build_graph(
-                data, graph_mesh(), r=r, candidate_factor=cand_factor, alpha=self.alpha
+                graph_data, graph_mesh(), r=r, candidate_factor=cand_factor, alpha=self.alpha
             )
         else:
-            neighbors, medoid = build_graph(data, r=r, candidate_factor=cand_factor, alpha=self.alpha)
+            neighbors, medoid = build_graph(graph_data, r=r, candidate_factor=cand_factor, alpha=self.alpha)
         n_parts = self.num_partitions
         if n_parts <= 0:
             import jax

@@ -46,7 +46,7 @@ from ...ops.beam_search import (
 from ...ops.graph import build_graph
 from ...ops.pq import choose_m, encode_pq_blocked, lift_codebooks, train_opq, train_pq
 from ...registry import register_backend
-from ..common import BaseSearcher, pad_batch_rows, save_ids
+from ..common import BaseSearcher, mips_augment, pad_batch_rows, save_ids
 
 logger = logging.getLogger(__name__)
 
@@ -107,16 +107,17 @@ class HnswBuilder(LeannBackendBuilderInterface):
     def build(self, data: np.ndarray, ids: list, index_path: str, **kwargs) -> None:
         data = np.ascontiguousarray(data, dtype=np.float32)
         n, d = data.shape
+        graph_data = mips_augment(data) if self.distance_metric == "mips" else data
         cand_factor = max(2, min(8, self.ef_construction // max(self.m, 1)))
         if self.build_sharded:
             from ...parallel.mesh import graph_mesh
             from ...parallel.sharded_build import sharded_build_graph
 
             neighbors, medoid = sharded_build_graph(
-                data, graph_mesh(), r=self.m, candidate_factor=cand_factor, alpha=self.alpha
+                graph_data, graph_mesh(), r=self.m, candidate_factor=cand_factor, alpha=self.alpha
             )
         else:
-            neighbors, medoid = build_graph(data, r=self.m, candidate_factor=cand_factor, alpha=self.alpha)
+            neighbors, medoid = build_graph(graph_data, r=self.m, candidate_factor=cand_factor, alpha=self.alpha)
         payload: Dict[str, Any] = {
             "neighbors": neighbors,
             "medoid": np.int32(medoid),

@@ -389,3 +389,32 @@ class TestPruningStrategies:
             labels, _, _ = self._run(prefix, q, strat)
             self_hit = sum(1 for row, i in zip(labels, qi) if i in row)
             assert self_hit / len(qi) >= 0.8, strat
+
+
+class TestMipsGraphAugmentation:
+    """MIPS -> L2 augmentation at build: without it an L2-built graph serves
+    the dot-product objective badly (measured recall@3 0.56 at 100K/768-d)."""
+
+    def test_mips_recall_on_varying_norms(self, rng, tmp_path):
+        from leann_tpu import LeannBuilder, LeannSearcher
+
+        n, d = 1500, 32
+        # clustered directions with widely varying norms: the regime where
+        # L2 neighborhoods and MIPS neighborhoods disagree most
+        cent = rng.standard_normal((15, d)).astype(np.float32)
+        x = cent[rng.integers(0, 15, n)] + 0.3 * rng.standard_normal((n, d)).astype(np.float32)
+        x *= rng.uniform(0.2, 3.0, size=(n, 1)).astype(np.float32)
+        idx = str(tmp_path / "mips.leann")
+        b = LeannBuilder(backend_name="hnsw", embedding_mode="simulated",
+                         embedding_model="simulated", distance_metric="mips",
+                         is_recompute=False, is_compact=False, M=12)
+        b.build_index_from_embeddings(idx, [str(i) for i in range(n)], x)
+        s = LeannSearcher(idx)
+        q = rng.standard_normal((24, d)).astype(np.float32)
+        truth = np.argsort(-(q @ x.T), axis=1)[:, :5]
+        hits = 0
+        for i in range(24):
+            res = s.search(q[i], top_k=5, complexity=64, beam_width=4,
+                           recompute_embeddings=False)
+            hits += len({int(r.id) for r in res} & set(truth[i].tolist()))
+        assert hits / (5 * 24) >= 0.9, f"mips recall {hits / 120}"
