@@ -114,10 +114,10 @@ def ensure_tier2():
     chunks = synth_corpus(TIER2_N, rng)
     log(f"tier2 corpus generated in {time.time()-t0:.0f}s")
 
-    # cosine explicitly: raw mips over the unnormalized 768-d outputs pairs an
-    # L2-built graph with a dot-product search objective, which costs ~40
-    # recall points at 100K (measured r2); the reference eval setup likewise
-    # L2-normalizes for its HNSW flat index
+    # cosine explicitly, matching the reference eval setup (which L2-
+    # normalizes for its HNSW flat index). Raw mips is also supported — the
+    # builders apply the MIPS->L2 graph augmentation (backends/common.py
+    # mips_augment) — but cosine is the parity configuration here.
     b = LeannBuilder(backend_name="diskann", embedding_model=TIER2_MODEL,
                      max_length=128, graph_degree=32, distance_metric="cosine")
     for c in chunks:

@@ -81,6 +81,11 @@ def run_child(mode: str):
     skw = dict(top_k=3, complexity=64, beam_width=8)
     if mode == "diskann":
         skw["rerank_size"] = 32
+    elif mode == "hnsw":
+        # PQ-screened per-hop recompute: the realistic configuration, and a
+        # far smaller XLA program than unpruned full-fanout recompute (which
+        # can take >15 min to compile cold through the remote-compile tunnel)
+        skw["prune_ratio"] = 0.75
     for q in chunks[:16]:
         s.search(" ".join(q.split()[:12]), **skw)
     stages["search"] = rss_mb()
