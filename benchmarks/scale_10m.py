@@ -79,6 +79,23 @@ def main():
     phases["encode_s"] = round(time.time() - t0, 1)
     print(f"[{phases['encode_s']}s] encoded {emb.shape}", flush=True)
 
+    # ---- oracle FIRST, on in-place-normalized embeddings ------------------
+    # (the builder's cosine path also normalizes in place, so no extra [N, D]
+    # copy ever exists; the un-blocked ordering peaked >130 GB host RSS)
+    n_total, dim = emb.shape
+    flat_bytes = n_total * dim * 4
+    q_idx = rng.choice(len(chunks), args.n_queries, replace=False)
+    queries = [" ".join(chunks[i].split()[:12]) for i in q_idx]
+    t0 = time.time()
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    np.divide(emb, np.maximum(norms, 1e-12), out=emb)
+    del norms
+    qv = enc.encode(queries)
+    qv /= np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
+    truth = host_oracle(emb, qv, 3)
+    phases["oracle_s"] = round(time.time() - t0, 1)
+    print(f"[{phases['oracle_s']}s] oracle done", flush=True)
+
     out_dir = args.out_dir or tempfile.mkdtemp(prefix="leann_10m_")
     prefix = os.path.join(out_dir, "big10m.leann")
     b = LeannBuilder(
@@ -91,6 +108,7 @@ def main():
                                   texts=chunks)
     phases["build_s"] = round(time.time() - t0, 1)
     print(f"[{phases['build_s']}s] index built", flush=True)
+    del emb, chunks  # free ~18 GB before the searcher loads the index
 
     # all-in accounting (everything needed to search; text excluded)
     idx_bytes = sum(
@@ -98,11 +116,6 @@ def main():
         for f in os.listdir(out_dir)
         if f.startswith(os.path.basename(prefix)) and ".passages." not in f
     )
-    flat_bytes = emb.shape[0] * emb.shape[1] * 4
-
-    q_idx = rng.choice(len(chunks), args.n_queries, replace=False)
-    queries = [" ".join(chunks[i].split()[:12]) for i in q_idx]
-    del chunks  # free ~3 GB before search
 
     s = LeannSearcher(prefix)
     kw = dict(top_k=3, complexity=args.complexity, beam_width=args.beam_width,
@@ -124,20 +137,12 @@ def main():
     labels_b = [[int(r.id) for r in row] for row in res_b]
     print(f"batched {batched:.2f} ms/q", flush=True)
 
-    # exact oracle on the SAME embeddings (normalized, cosine)
-    t0 = time.time()
-    emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
-    qv = enc.encode(queries)
-    qv /= np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
-    truth = host_oracle(emb, qv, 3)
-    phases["oracle_s"] = round(time.time() - t0, 1)
-
     def recall(lbls, tr):
         hits = sum(len(set(l) & set(t.tolist())) for l, t in zip(lbls, tr))
         return hits / (3 * len(lbls))
 
     print(json.dumps({
-        "n_chunks": emb.shape[0],
+        "n_chunks": n_total,
         **phases,
         "p50_ms": round(p50, 2),
         "batched_ms_per_query": round(batched, 2),

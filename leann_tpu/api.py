@@ -352,7 +352,10 @@ class LeannBuilder:
                                     texts: Optional[Sequence[str]] = None) -> None:
         """Build from precomputed (ids, [N, D]) — parity api.py:483-604. When
         ``texts`` is omitted, passages hold empty text and recompute is
-        disabled (there is nothing to re-encode)."""
+        disabled (there is nothing to re-encode).
+
+        NOTE: with ``distance_metric="cosine"`` the embeddings array may be
+        L2-normalized IN PLACE (avoids a second multi-GB copy at scale)."""
         embeddings = np.ascontiguousarray(embeddings, dtype=np.float32)
         if len(ids) != embeddings.shape[0]:
             raise ValueError("ids/embeddings length mismatch")
@@ -388,8 +391,11 @@ class LeannBuilder:
 
     def _backend_build(self, embeddings: np.ndarray, ids: List[str], prefix: str) -> None:
         if self.distance_metric == "cosine":
+            # in place: a second [N, D] f32 copy is ~15 GB at 10M rows (and
+            # the caller of build_index_from_embeddings is documented to
+            # expect possible in-place normalization)
             norms = np.linalg.norm(embeddings, axis=1, keepdims=True)
-            embeddings = embeddings / np.maximum(norms, 1e-12)
+            np.divide(embeddings, np.maximum(norms, 1e-12), out=embeddings)
         factory = get_backend(self.backend_name)
         builder = factory.builder(
             distance_metric=self.distance_metric,

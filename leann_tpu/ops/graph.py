@@ -364,35 +364,48 @@ def cluster_window_init(
 
 
 def _merge_spill_lists(ids: np.ndarray, dists: np.ndarray, exp_orig: np.ndarray,
-                       n: int, n_probe: int, k: int) -> Tuple[np.ndarray, np.ndarray]:
+                       n: int, n_probe: int, k: int,
+                       row_block: int = 1 << 20) -> Tuple[np.ndarray, np.ndarray]:
     """Merge each node's ``n_probe`` window-KNN candidate lists -> top-k
     dedup'd. ids/dists are [n*n_probe, k] in expanded-row order; exp_orig maps
-    expanded rows to original node ids."""
+    expanded rows to original node ids.
+
+    Processed in ``row_block`` node blocks: the unblocked version materializes
+    ~10 int64/[n, n_probe*k] temporaries (argsort returns intp), which at 10M
+    nodes peaked >60 GB and OOM-killed the build — blocking caps the
+    transient at a few GB regardless of n."""
     inf = np.float32(3.4e38)
     pos_by_node = np.argsort(exp_orig, kind="stable").reshape(n, n_probe)
-    ids_cat = ids[pos_by_node].reshape(n, n_probe * k)
-    d_cat = dists[pos_by_node].reshape(n, n_probe * k).astype(np.float32)
-    own = np.arange(n, dtype=np.int32)[:, None]
-    self_or_pad = (ids_cat == own) | (ids_cat < 0)
-    d_cat = np.where(self_or_pad, inf, d_cat)
-    ids_cat = np.where(self_or_pad, -1, ids_cat)
-    # dedup: group by id keeping the best distance first, kill repeats,
-    # then resort by distance (three stable argsorts, all vectorized)
-    o1 = np.argsort(d_cat, axis=1, kind="stable")
-    ids1 = np.take_along_axis(ids_cat, o1, 1)
-    d1 = np.take_along_axis(d_cat, o1, 1)
-    o2 = np.argsort(ids1, axis=1, kind="stable")
-    ids2 = np.take_along_axis(ids1, o2, 1)
-    d2 = np.take_along_axis(d1, o2, 1)
-    dup = np.zeros_like(ids2, dtype=bool)
-    dup[:, 1:] = (ids2[:, 1:] == ids2[:, :-1]) & (ids2[:, 1:] >= 0)
-    d2[dup] = inf
-    ids2[dup] = -1
-    o3 = np.argsort(d2, axis=1, kind="stable")
-    out_ids = np.take_along_axis(ids2, o3, 1)[:, :k]
-    out_d = np.take_along_axis(d2, o3, 1)[:, :k]
-    out_ids[out_d >= inf] = -1
-    return np.ascontiguousarray(out_ids), np.ascontiguousarray(out_d)
+    out_ids = np.empty((n, k), np.int32)
+    out_d = np.empty((n, k), np.float32)
+    for s in range(0, n, row_block):
+        e = min(s + row_block, n)
+        pos = pos_by_node[s:e]
+        ids_cat = ids[pos].reshape(e - s, n_probe * k)
+        d_cat = dists[pos].reshape(e - s, n_probe * k).astype(np.float32)
+        own = np.arange(s, e, dtype=np.int32)[:, None]
+        self_or_pad = (ids_cat == own) | (ids_cat < 0)
+        d_cat = np.where(self_or_pad, inf, d_cat)
+        ids_cat = np.where(self_or_pad, -1, ids_cat)
+        # dedup: group by id keeping the best distance first, kill repeats,
+        # then resort by distance (three stable argsorts, all vectorized)
+        o1 = np.argsort(d_cat, axis=1, kind="stable")
+        ids1 = np.take_along_axis(ids_cat, o1, 1)
+        d1 = np.take_along_axis(d_cat, o1, 1)
+        o2 = np.argsort(ids1, axis=1, kind="stable")
+        ids2 = np.take_along_axis(ids1, o2, 1)
+        d2 = np.take_along_axis(d1, o2, 1)
+        dup = np.zeros_like(ids2, dtype=bool)
+        dup[:, 1:] = (ids2[:, 1:] == ids2[:, :-1]) & (ids2[:, 1:] >= 0)
+        d2[dup] = inf
+        ids2[dup] = -1
+        o3 = np.argsort(d2, axis=1, kind="stable")
+        bi = np.take_along_axis(ids2, o3, 1)[:, :k]
+        bd = np.take_along_axis(d2, o3, 1)[:, :k]
+        bi[bd >= inf] = -1
+        out_ids[s:e] = bi
+        out_d[s:e] = bd
+    return out_ids, out_d
 
 
 def spill_knn_streamed(
@@ -885,8 +898,13 @@ def build_graph(
     np_total = _bucket_rows(n, blk)
     if n > EXACT_KNN_MAX_N:
         # bf16-only device residency: the padded f32 matrix alone is ~15 GB
-        # at 10M x 384 (over HBM); norms come from a host f32 pass instead
-        ebf = jnp.asarray(_pad_rows(np.asarray(emb, dtype=jnp.bfloat16), np_total))
+        # at 10M x 384 (over HBM); norms come from a host f32 pass instead.
+        # Single pre-allocated padded buffer (cast-on-assign) — a convert +
+        # concat chain would hold two 7.7 GB host temporaries at once
+        ebf_host = np.zeros((np_total, emb.shape[1]), dtype=jnp.bfloat16)
+        ebf_host[:n] = emb
+        ebf = jnp.asarray(ebf_host)
+        del ebf_host
         nrm = jnp.asarray(_pad_rows(np.einsum("ij,ij->i", emb, emb).astype(np.float32), np_total))
     else:
         emb_p = jnp.asarray(_pad_rows(emb, np_total))
