@@ -97,6 +97,10 @@ def main():
     print(f"[{phases['oracle_s']}s] oracle done", flush=True)
 
     out_dir = args.out_dir or tempfile.mkdtemp(prefix="leann_10m_")
+    os.makedirs(out_dir, exist_ok=True)
+    # persist the oracle so later sweeps never pay the 10M re-encode
+    np.save(os.path.join(out_dir, "truth.npy"), truth)
+    json.dump(queries, open(os.path.join(out_dir, "queries.json"), "w"))
     prefix = os.path.join(out_dir, "big10m.leann")
     b = LeannBuilder(
         backend_name="diskann", embedding_model="hash-minilm",
