@@ -393,7 +393,10 @@ class LeannBuilder:
         if self.distance_metric == "cosine":
             # in place: a second [N, D] f32 copy is ~15 GB at 10M rows (and
             # the caller of build_index_from_embeddings is documented to
-            # expect possible in-place normalization)
+            # expect possible in-place normalization). Read-only inputs
+            # (mmap'd .npy etc.) get the copy they require.
+            if not embeddings.flags.writeable:
+                embeddings = embeddings.copy()
             norms = np.linalg.norm(embeddings, axis=1, keepdims=True)
             np.divide(embeddings, np.maximum(norms, 1e-12), out=embeddings)
         factory = get_backend(self.backend_name)
