@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Search-knob sweep over the CACHED 10M index (no rebuild).
+
+scale_10m.py pays ~3h to build the 10M-chunk index; this script answers the
+follow-up question — the recall-vs-complexity curve — against that cached
+index. The corpus and query draw are regenerated DETERMINISTICALLY (same rng
+protocol as scale_10m.py: default_rng(0) -> synth_corpus -> rng.choice), the
+exact oracle is recomputed once, and everything expensive is persisted into
+the index dir so later sweeps (and later rounds) skip straight to searching:
+
+  emb_f16.npy            L2-normalized embeddings, f16 (oracle-grade: values
+                         in [-1,1], f16 keeps ~3 decimal digits; re-encoding
+                         costs ~36 min TPU, this loads in seconds)
+  queries_prefix12.json  the recorded-run query set (12-word prefixes)
+  queries_full.json      full-chunk queries (the retrieval-ceiling probe:
+                         prefix queries are ambiguous against sibling chunks
+                         at 10M; full chunks measure the index, not the query)
+  truth_<set>.npy        exact cosine top-10 per query set
+
+Reports one JSON line per (query_set, knobs) point: recall@3, batched ms/q.
+Parity anchor: reference benchmarks sweep efSearch/complexity the same way
+(/root/reference/benchmarks/run_evaluation.py --complexity sweep).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(1, os.path.dirname(os.path.abspath(__file__)))
+
+from scale_10m import host_oracle  # noqa: E402
+from scale_500k import synth_corpus  # noqa: E402
+
+from leann_tpu import LeannSearcher  # noqa: E402
+from leann_tpu.embeddings.encoder import get_encoder  # noqa: E402
+
+DEFAULT_DIR = os.path.expanduser("~/.cache/leann_tpu_bench/s10m")
+
+
+def ensure_oracle(out_dir: str, n_chunks: int, n_queries: int, max_length: int) -> None:
+    """Regenerate + persist embeddings, query sets, and exact truth if absent."""
+    os.makedirs(out_dir, exist_ok=True)
+    want = [
+        os.path.join(out_dir, "emb_f16.npy"),
+        os.path.join(out_dir, "queries_prefix12.json"),
+        os.path.join(out_dir, "queries_full.json"),
+        os.path.join(out_dir, "truth_prefix12.npy"),
+        os.path.join(out_dir, "truth_full.npy"),
+    ]
+    if all(os.path.exists(p) for p in want):
+        print("oracle artifacts present; skipping regen", flush=True)
+        return
+
+    enc = get_encoder("hash-minilm", max_length=max_length)
+    emb_path = os.path.join(out_dir, "emb_f16.npy")
+    if os.path.exists(emb_path):
+        # embeddings cached from a prior (partial) run: only queries/truth left
+        rng = np.random.default_rng(0)
+        chunks = synth_corpus(n_chunks, rng)
+        q_idx = rng.choice(len(chunks), n_queries, replace=False)
+        emb = np.load(emb_path).astype(np.float32)
+    else:
+        rng = np.random.default_rng(0)
+        t0 = time.time()
+        chunks = synth_corpus(n_chunks, rng)
+        print(f"[{time.time() - t0:.0f}s] corpus {len(chunks)}", flush=True)
+        q_idx = rng.choice(len(chunks), n_queries, replace=False)
+        t0 = time.time()
+        emb = enc.encode(chunks, batch_size=4096)
+        print(f"[{time.time() - t0:.0f}s] encoded {emb.shape}", flush=True)
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        np.divide(emb, np.maximum(norms, 1e-12), out=emb)
+        del norms
+        np.save(emb_path, emb.astype(np.float16))
+        print("saved emb_f16.npy", flush=True)
+
+    sets = {
+        "prefix12": [" ".join(chunks[i].split()[:12]) for i in q_idx],
+        "full": [chunks[i] for i in q_idx],
+    }
+    del chunks
+    for name, qs in sets.items():
+        tp = os.path.join(out_dir, f"truth_{name}.npy")
+        json.dump(qs, open(os.path.join(out_dir, f"queries_{name}.json"), "w"))
+        if os.path.exists(tp):
+            continue
+        qv = enc.encode(qs)
+        qv /= np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
+        t0 = time.time()
+        np.save(tp, host_oracle(emb, qv, 10))
+        print(f"[{time.time() - t0:.0f}s] oracle({name}) saved", flush=True)
+
+
+def recall_at(labels, truth, k: int) -> float:
+    hits = sum(len(set(l[:k]) & set(t[:k].tolist())) for l, t in zip(labels, truth))
+    return hits / (k * len(labels))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out-dir", default=DEFAULT_DIR)
+    ap.add_argument("--n-chunks", type=int, default=10_000_000)
+    ap.add_argument("--n-queries", type=int, default=64)
+    ap.add_argument("--max-length", type=int, default=64)
+    ap.add_argument("--complexities", default="512,1024,1536,2048")
+    ap.add_argument("--beam-width", type=int, default=16)
+    ap.add_argument("--rerank-size", type=int, default=64)
+    ap.add_argument("--n-entries", type=int, default=128)
+    ap.add_argument("--query-sets", default="prefix12,full")
+    ap.add_argument("--oracle-only", action="store_true")
+    args = ap.parse_args()
+
+    ensure_oracle(args.out_dir, args.n_chunks, args.n_queries, args.max_length)
+    if args.oracle_only:
+        print("DONE (oracle only)", flush=True)
+        return
+
+    s = LeannSearcher(os.path.join(args.out_dir, "big10m.leann"))
+    for qset in args.query_sets.split(","):
+        queries = json.load(open(os.path.join(args.out_dir, f"queries_{qset}.json")))
+        truth = np.load(os.path.join(args.out_dir, f"truth_{qset}.npy"))
+        for cx in (int(c) for c in args.complexities.split(",")):
+            kw = dict(top_k=3, complexity=cx, beam_width=args.beam_width,
+                      rerank_size=args.rerank_size, n_entries=args.n_entries)
+            res = s.search(queries, **kw)  # compile warmup
+            t0 = time.time()
+            res = s.search(queries, **kw)
+            ms = (time.time() - t0) * 1000 / len(queries)
+            labels = [[int(r.id) for r in row] for row in res]
+            print(json.dumps({
+                "query_set": qset, "complexity": cx,
+                "beam_width": args.beam_width, "rerank_size": args.rerank_size,
+                "n_entries": args.n_entries,
+                "recall_at_3": round(recall_at(labels, truth, 3), 4),
+                "batched_ms_per_query": round(ms, 2),
+            }), flush=True)
+    print("DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
