@@ -113,6 +113,11 @@ def main():
     ap.add_argument("--n-entries", type=int, default=128)
     ap.add_argument("--query-sets", default="prefix12,full")
     ap.add_argument("--oracle-only", action="store_true")
+    # two-phase batched search: cap the first dispatch at this many steps and
+    # re-dispatch only unconverged lanes at full budget (fixes the
+    # slowest-lane drag: cx2048 measured 358 ms/q flat vs ~cx1024-like with
+    # escalation). 0 = single dispatch.
+    ap.add_argument("--adaptive-steps", type=int, default=0)
     args = ap.parse_args()
 
     ensure_oracle(args.out_dir, args.n_chunks, args.n_queries, args.max_length)
@@ -127,6 +132,8 @@ def main():
         for cx in (int(c) for c in args.complexities.split(",")):
             kw = dict(top_k=3, complexity=cx, beam_width=args.beam_width,
                       rerank_size=args.rerank_size, n_entries=args.n_entries)
+            if args.adaptive_steps:
+                kw["adaptive_steps"] = args.adaptive_steps
             res = s.search(queries, **kw)  # compile warmup
             t0 = time.time()
             res = s.search(queries, **kw)
@@ -136,6 +143,7 @@ def main():
                 "query_set": qset, "complexity": cx,
                 "beam_width": args.beam_width, "rerank_size": args.rerank_size,
                 "n_entries": args.n_entries,
+                "adaptive_steps": args.adaptive_steps,
                 "recall_at_3": round(recall_at(labels, truth, 3), 4),
                 "batched_ms_per_query": round(ms, 2),
             }), flush=True)

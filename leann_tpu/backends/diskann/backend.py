@@ -36,6 +36,7 @@ from ...interface import (
 from ...ops.beam_search import (
     BeamConfig,
     GraphData,
+    beam_search_adaptive,
     beam_search_batch_packed,
     beam_search_text_batch_packed,
     unpack_results,
@@ -229,19 +230,27 @@ class DiskannSearcher(BaseSearcher, LeannBackendSearcherInterface):
         top_k: int,
         **kwargs,
     ) -> Dict[str, np.ndarray]:
+        # adaptive_steps > 0: two-phase batched search (see hnsw.search)
+        adaptive_steps = int(kwargs.pop("adaptive_steps", 0) or 0)
         cfg, enc_params = self._make_cfg(top_k, **kwargs)
         q = jnp.asarray(np.ascontiguousarray(query, dtype=np.float32))
         if self._sharded is not None:
             labels, dists = self._sharded.search(np.asarray(q), cfg, enc_params)
             return {"labels": labels, "distances": dists}
         real_b, (qp,) = pad_batch_rows(np.asarray(q, dtype=np.float32))
-        packed = beam_search_batch_packed(jnp.asarray(qp), self._graph_data(), cfg, enc_params)
-        labels, dists = unpack_results(packed)
+        if adaptive_steps:
+            labels, dists, _, _ = beam_search_adaptive(
+                qp, self._graph_data(), cfg, enc_params, first_steps=adaptive_steps
+            )
+        else:
+            packed = beam_search_batch_packed(jnp.asarray(qp), self._graph_data(), cfg, enc_params)
+            labels, dists = unpack_results(packed)
         return {"labels": labels[:real_b], "distances": dists[:real_b]}
 
     def search_text(self, query: "str | list", top_k: int, **kwargs) -> Dict[str, np.ndarray]:
         """Fused single-dispatch path (see hnsw.search_text); accepts a batch."""
         queries = [query] if isinstance(query, str) else list(query)
+        adaptive_steps = int(kwargs.pop("adaptive_steps", 0) or 0)
         cfg, enc_params = self._make_cfg(top_k, need_encoder=True, **kwargs)
         enc = self._encoder()
         if self._sharded is not None:
@@ -250,6 +259,15 @@ class DiskannSearcher(BaseSearcher, LeannBackendSearcherInterface):
                 q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
             labels, dists = self._sharded.search(q, cfg, enc_params)
             return {"labels": labels, "distances": dists}
+        if adaptive_steps:
+            q = enc.encode(queries)
+            if cfg.normalize:
+                q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+            real_b, (qp,) = pad_batch_rows(np.asarray(q, dtype=np.float32))
+            labels, dists, _, _ = beam_search_adaptive(
+                qp, self._graph_data(), cfg, enc_params, first_steps=adaptive_steps
+            )
+            return {"labels": labels[:real_b], "distances": dists[:real_b]}
         q_ids, q_mask = enc.tokenize(queries)
         real_b, (q_ids, q_mask) = pad_batch_rows(q_ids, q_mask)
         packed = beam_search_text_batch_packed(

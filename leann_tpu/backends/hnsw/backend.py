@@ -39,6 +39,7 @@ from ...interface import (
 from ...ops.beam_search import (
     BeamConfig,
     GraphData,
+    beam_search_adaptive,
     beam_search_batch_packed,
     beam_search_text_batch_packed,
     unpack_results,
@@ -302,9 +303,15 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
         pruning_strategy: str = "global",
         batch_size: int = 0,
         n_entries: int = 16,
+        adaptive_steps: int = 0,
         zmq_port: Optional[int] = None,
         **kwargs,
     ) -> Dict[str, np.ndarray]:
+        """``adaptive_steps`` > 0 enables the two-phase batched path: the full
+        batch runs with the step budget capped there, then only unconverged
+        lanes are re-dispatched at full budget (beam_search_adaptive). Exact
+        same results; avoids the slowest-lane drag at high complexity. Keep
+        the value a stable pow2 — each distinct value compiles a program."""
         q = jnp.asarray(np.ascontiguousarray(query, dtype=np.float32))
         cfg, enc_params = self._make_cfg(
             top_k, complexity, beam_width, prune_ratio, recompute_embeddings,
@@ -317,8 +324,13 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
             labels, dists = self._sharded.search(np.asarray(q), cfg, enc_params, keep_local=keep_local)
             return {"labels": labels, "distances": dists}
         real_b, (qp,) = pad_batch_rows(np.asarray(q, dtype=np.float32))
-        packed = beam_search_batch_packed(jnp.asarray(qp), self._graph_data(), cfg, enc_params)
-        labels, dists = unpack_results(packed)
+        if adaptive_steps:
+            labels, dists, _, _ = beam_search_adaptive(
+                qp, self._graph_data(), cfg, enc_params, first_steps=adaptive_steps
+            )
+        else:
+            packed = beam_search_batch_packed(jnp.asarray(qp), self._graph_data(), cfg, enc_params)
+            labels, dists = unpack_results(packed)
         return {"labels": labels[:real_b], "distances": dists[:real_b]}
 
     def search_text(
@@ -333,12 +345,16 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
         pruning_strategy: str = "global",
         batch_size: int = 0,
         n_entries: int = 16,
+        adaptive_steps: int = 0,
         zmq_port: Optional[int] = None,
         **kwargs,
     ) -> Dict[str, np.ndarray]:
         """Fused single-dispatch path: query tokens -> on-chip encode ->
         beam search, one device round-trip total. ``query`` may be a list of
-        strings — the whole batch runs in the same dispatch."""
+        strings — the whole batch runs in the same dispatch.
+        ``adaptive_steps`` > 0 trades the fused encode for the two-phase
+        batched search (see :meth:`search`) — worth it exactly when one extra
+        dispatch is noise, i.e. large batches at high complexity."""
         queries = [query] if isinstance(query, str) else list(query)
         cfg, enc_params = self._make_cfg(
             top_k, complexity, beam_width, prune_ratio, recompute_embeddings,
@@ -354,6 +370,15 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
                 keep_local = max(1, cfg.prune_keep // self._n_devices())
             labels, dists = self._sharded.search(q, cfg, enc_params, keep_local=keep_local)
             return {"labels": labels, "distances": dists}
+        if adaptive_steps:
+            q = enc.encode(queries)
+            if cfg.normalize:
+                q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+            real_b, (qp,) = pad_batch_rows(np.asarray(q, dtype=np.float32))
+            labels, dists, _, _ = beam_search_adaptive(
+                qp, self._graph_data(), cfg, enc_params, first_steps=adaptive_steps
+            )
+            return {"labels": labels[:real_b], "distances": dists[:real_b]}
         q_ids, q_mask = enc.tokenize(queries)
         real_b, (q_ids, q_mask) = pad_batch_rows(q_ids, q_mask)
         packed = beam_search_text_batch_packed(

@@ -299,6 +299,37 @@ def unpack_results(packed) -> tuple:
     return arr[:, :k], np.ascontiguousarray(arr[:, k:]).view(np.float32)
 
 
+def pack_results_full(labels, dists, steps, n_exact) -> jnp.ndarray:
+    """Like :func:`pack_results` but also carries the per-lane telemetry the
+    adaptive two-phase search needs on host: i32[B, 2k+2] =
+    [labels | bitcast(dists) | steps | n_exact]. Still one transfer."""
+    return jnp.concatenate(
+        [
+            labels,
+            jax.lax.bitcast_convert_type(dists, jnp.int32),
+            steps[:, None],
+            n_exact[:, None],
+        ],
+        axis=1,
+    )
+
+
+def unpack_results_full(packed) -> tuple:
+    """Inverse of :func:`pack_results_full` ->
+    (labels i32[B,k], dists f32[B,k], steps i32[B], n_exact i32[B]).
+    Always writable (np.asarray of a device array may be read-only, and the
+    adaptive search scatters escalated lanes back in place)."""
+    import numpy as np
+
+    arr = np.asarray(packed)
+    if not arr.flags.writeable:
+        arr = arr.copy()
+    k = (arr.shape[1] - 2) // 2
+    labels = arr[:, :k]
+    dists = np.ascontiguousarray(arr[:, k : 2 * k]).view(np.float32)
+    return labels, dists, arr[:, 2 * k], arr[:, 2 * k + 1]
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def beam_search_batch(q: jnp.ndarray, g: GraphData, cfg: BeamConfig, enc_params=None):
     """q [B, D] -> (labels i32[B, k], dists f32[B, k], steps i32[B],
@@ -317,6 +348,67 @@ def beam_search_batch_packed(q: jnp.ndarray, g: GraphData, cfg: BeamConfig, enc_
         enc_params = {"_": jnp.zeros((1,), jnp.float32)}
     labels, dists, _, _ = jax.vmap(lambda qi: _search_one(qi, g, cfg, enc_params))(q)
     return pack_results(labels, dists)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def beam_search_batch_packed_full(q: jnp.ndarray, g: GraphData, cfg: BeamConfig, enc_params=None):
+    """Like :func:`beam_search_batch_packed` but the packed buffer also carries
+    per-lane steps and n_exact (see :func:`pack_results_full`) — the telemetry
+    transfer the adaptive two-phase search decides escalation from."""
+    if enc_params is None:
+        enc_params = {"_": jnp.zeros((1,), jnp.float32)}
+    labels, dists, steps, n_exact = jax.vmap(lambda qi: _search_one(qi, g, cfg, enc_params))(q)
+    return pack_results_full(labels, dists, steps, n_exact)
+
+
+def beam_search_adaptive(q, g: GraphData, cfg: BeamConfig, enc_params=None, first_steps: int = 0):
+    """Two-phase batched search (host orchestration, two device dispatches).
+
+    A vmapped ``while_loop`` runs every lane until the SLOWEST lane converges,
+    so one hard query in a large batch at high complexity drags the whole
+    batch (measured: 26 -> 358 ms/q going cx1024 -> cx2048 at 10M scale,
+    because a few lanes need 4x the median step count). Fix: run the full
+    batch with ``max_steps`` capped at ``first_steps``, fetch the per-lane
+    step counts (one packed transfer), then re-dispatch ONLY the lanes that
+    hit the cap — padded to a pow2 bucket — with the full step budget.
+
+    Result parity is exact: a lane that converged under the cap is
+    deterministic and identical to the uncapped run; a capped lane is rerun
+    from scratch at full budget. The reference has no batched path at all
+    (every query is a separate C++ search; SURVEY.md §3.2).
+
+    Keep ``first_steps`` a pow2-ish constant per deployment — every distinct
+    value compiles a separate program per batch shape.
+
+    Returns numpy ``(labels i32[B,k], dists f32[B,k], steps i32[B],
+    n_exact i32[B])``; escalated lanes report their full-run telemetry.
+    """
+    import dataclasses
+
+    import numpy as np
+
+    if enc_params is None:
+        enc_params = {"_": jnp.zeros((1,), jnp.float32)}
+    qh = np.ascontiguousarray(np.asarray(q), dtype=np.float32)
+    if first_steps <= 0 or first_steps >= cfg.max_steps:
+        return unpack_results_full(beam_search_batch_packed_full(jnp.asarray(qh), g, cfg, enc_params))
+    cfg1 = dataclasses.replace(cfg, max_steps=int(first_steps))
+    labels, dists, steps, n_exact = unpack_results_full(
+        beam_search_batch_packed_full(jnp.asarray(qh), g, cfg1, enc_params)
+    )
+    # steps == cap means truncated OR converged exactly at the cap; escalate
+    # both (the latter rerun is wasted but rare and correct)
+    esc = np.nonzero(steps >= first_steps)[0]
+    if esc.size == 0:
+        return labels, dists, steps, n_exact
+    b2 = 1 << int(esc.size - 1).bit_length() if esc.size > 1 else 1
+    idx = np.resize(esc, b2)  # cyclic repeats keep pad lanes realistic
+    l2, d2, s2, ne2 = unpack_results_full(
+        beam_search_batch_packed_full(jnp.asarray(qh[idx]), g, cfg, enc_params)
+    )
+    m = esc.size
+    labels[esc], dists[esc], steps[esc], n_exact[esc] = l2[:m], d2[:m], s2[:m], ne2[:m]
+    return labels, dists, steps, n_exact
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

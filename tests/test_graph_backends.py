@@ -180,6 +180,83 @@ class TestBeamSearchStored:
         assert (np.diff(dd, axis=1) >= -1e-4).all()
 
 
+class TestAdaptiveSearch:
+    """Two-phase batched search (beam_search_adaptive): exact result parity
+    with the single-dispatch program — converged lanes are deterministic
+    under the step cap, escalated lanes rerun at full budget."""
+
+    def _graph(self, rng, n=600, d=16):
+        from leann_tpu.ops.beam_search import GraphData
+        from leann_tpu.ops.graph import build_graph
+        import jax.numpy as jnp
+
+        emb = rng.standard_normal((n, d)).astype(np.float32)
+        g, medoid = build_graph(emb, r=8)
+        gd = GraphData(
+            neighbors=jnp.asarray(g),
+            entry_ids=jnp.asarray(np.asarray([medoid], np.int32)),
+            emb=jnp.asarray(emb),
+            tokens=jnp.zeros((1, 1), jnp.int32),
+            lengths=jnp.zeros((1,), jnp.int32),
+            codes=jnp.zeros((1, 1), jnp.uint8),
+            codebooks=jnp.zeros((1, 1), jnp.float32),
+        )
+        return emb, gd
+
+    def test_parity_with_escalation(self, rng):
+        from leann_tpu.ops.beam_search import BeamConfig, beam_search_adaptive, beam_search_batch
+        import jax.numpy as jnp
+
+        emb, gd = self._graph(rng)
+        q = rng.standard_normal((16, emb.shape[1])).astype(np.float32)
+        cfg = BeamConfig(metric="l2", k=5, complexity=32, beam=2, max_steps=64, traversal="stored")
+        fl, fd, fs, fne = (np.asarray(x) for x in beam_search_batch(jnp.asarray(q), gd, cfg))
+        assert fs.max() > 2, "fixture too easy: no lane would escalate"
+        al, ad, asteps, ane = beam_search_adaptive(q, gd, cfg, first_steps=2)
+        np.testing.assert_array_equal(al, fl)
+        np.testing.assert_allclose(ad, fd, rtol=1e-6)
+        np.testing.assert_array_equal(asteps, fs)  # escalated lanes report full-run telemetry
+        np.testing.assert_array_equal(ane, fne)
+
+    def test_no_escalation_and_passthrough(self, rng):
+        from leann_tpu.ops.beam_search import BeamConfig, beam_search_adaptive, beam_search_batch
+        import jax.numpy as jnp
+
+        emb, gd = self._graph(rng)
+        q = rng.standard_normal((8, emb.shape[1])).astype(np.float32)
+        cfg = BeamConfig(metric="l2", k=5, complexity=32, beam=2, max_steps=64, traversal="stored")
+        fl, _, fs, _ = (np.asarray(x) for x in beam_search_batch(jnp.asarray(q), gd, cfg))
+        # cap above every lane's convergence step -> phase 2 never dispatched
+        cap = int(fs.max()) + 1
+        assert cap < cfg.max_steps
+        al, _, _, _ = beam_search_adaptive(q, gd, cfg, first_steps=cap)
+        np.testing.assert_array_equal(al, fl)
+        # first_steps >= max_steps -> plain single dispatch
+        al2, _, _, _ = beam_search_adaptive(q, gd, cfg, first_steps=cfg.max_steps)
+        np.testing.assert_array_equal(al2, fl)
+
+    def test_backend_kwarg(self, rng, tmp_path):
+        from leann_tpu import LeannBuilder
+        from leann_tpu.backends.hnsw.backend import HnswSearcher
+
+        rng2 = np.random.default_rng(11)
+        texts = [f"doc {i} " + " ".join(f"w{rng2.integers(0, 300)}" for _ in range(10))
+                 for i in range(300)]
+        prefix = str(tmp_path / "adapt.leann")
+        b = LeannBuilder(backend_name="hnsw", embedding_model="hash-tiny", max_length=32, M=8)
+        for t in texts:
+            b.add_text(t)
+        b.build_index(prefix)
+        s = HnswSearcher(prefix)
+        from leann_tpu.embeddings.encoder import get_encoder
+
+        q = get_encoder("hash-tiny", max_length=32).encode([texts[3], texts[144], texts[270]])
+        base = s.search(q, top_k=5, complexity=32, prune_ratio=0.5)
+        adap = s.search(q, top_k=5, complexity=32, prune_ratio=0.5, adaptive_steps=2)
+        np.testing.assert_array_equal(adap["labels"], base["labels"])
+        np.testing.assert_allclose(adap["distances"], base["distances"], rtol=1e-5)
+
+
 class TestHnswBackendE2E:
     def test_stored_mode_recall(self, rng, tmp_path):
         from leann_tpu import LeannBuilder, LeannSearcher
