@@ -118,6 +118,11 @@ def main():
     # slowest-lane drag: cx2048 measured 358 ms/q flat vs ~cx1024-like with
     # escalation). 0 = single dispatch.
     ap.add_argument("--adaptive-steps", type=int, default=0)
+    # 'host' keeps the token store in host RAM (memmapped if raw) and defers
+    # the exact rerank to a second dispatch — the beyond-HBM path, measurable
+    # here against the device-resident default at 10M
+    ap.add_argument("--token-residency", default="auto",
+                    choices=["auto", "device", "host"])
     args = ap.parse_args()
 
     ensure_oracle(args.out_dir, args.n_chunks, args.n_queries, args.max_length)
@@ -125,7 +130,8 @@ def main():
         print("DONE (oracle only)", flush=True)
         return
 
-    s = LeannSearcher(os.path.join(args.out_dir, "big10m.leann"))
+    s = LeannSearcher(os.path.join(args.out_dir, "big10m.leann"),
+                      token_residency=args.token_residency)
     for qset in args.query_sets.split(","):
         queries = json.load(open(os.path.join(args.out_dir, f"queries_{qset}.json")))
         truth = np.load(os.path.join(args.out_dir, f"truth_{qset}.npy"))
@@ -144,6 +150,7 @@ def main():
                 "beam_width": args.beam_width, "rerank_size": args.rerank_size,
                 "n_entries": args.n_entries,
                 "adaptive_steps": args.adaptive_steps,
+                "token_residency": args.token_residency,
                 "recall_at_3": round(recall_at(labels, truth, 3), 4),
                 "batched_ms_per_query": round(ms, 2),
             }), flush=True)

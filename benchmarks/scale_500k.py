@@ -113,7 +113,11 @@ def main():
         print("reusing existing index", flush=True)
 
     idx_bytes = os.path.getsize(prefix + f".{args.backend}.npz")
-    tok_bytes = os.path.getsize(prefix + ".tokens.npz")
+    tok_bytes = sum(
+        os.path.getsize(prefix + ext)
+        for ext in (".tokens.npz", ".tokens.npy", ".lengths.npy")
+        if os.path.exists(prefix + ext)
+    )
 
     s = LeannSearcher(prefix)
     q_idx = rng.choice(len(chunks), args.n_queries, replace=False)

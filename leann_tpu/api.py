@@ -44,6 +44,10 @@ logger = logging.getLogger(__name__)
 
 INDEX_FORMAT_VERSION = 1
 
+# token stores above this switch from .tokens.npz to raw .tokens.npy, which
+# memmaps at load (see _maybe_write_tokens / BaseSearcher.load_tokens)
+RAW_TOKEN_STORE_BYTES = 1 << 30
+
 # Models whose embeddings are unit-norm; cosine is forced for them the way the
 # reference does for OpenAI/Voyage/Cohere (api.py:301-368).
 _NORMALIZED_MODEL_MARKERS = ("text-embedding", "voyage", "cohere", "minilm", "all-MiniLM", "hash-minilm", "hash-tiny")
@@ -320,22 +324,30 @@ class LeannBuilder:
             id_list.extend(c["id"] for c in chunks)
             with open(ids_path, "w") as f:
                 json.dump(id_list, f)
-        # 2. append tokens
+        # 2. append tokens (either store format; stays in its format)
         tok_path = f"{prefix}.tokens.npz"
-        if os.path.exists(tok_path):
+        raw_path = f"{prefix}.tokens.npy"
+        if os.path.exists(raw_path) or os.path.exists(tok_path):
             from .embeddings.encoder import get_encoder
 
             enc = get_encoder(self.embedding_model, max_length=meta.get("max_length", self.max_length))
-            z = np.load(tok_path)
+            if os.path.exists(raw_path):
+                old_tok = np.load(raw_path, mmap_mode="r")
+                old_len = np.load(f"{prefix}.lengths.npy")
+            else:
+                z = np.load(tok_path)
+                old_tok, old_len = z["tokens"], z["lengths"]
             new_tok, new_mask = enc.tokenize(texts)
-            t_old = z["tokens"].shape[1]
+            t_old = old_tok.shape[1]
             new_tok = new_tok[:, :t_old]
             lengths = np.minimum(new_mask.sum(axis=1), t_old).astype(np.int32)
-            np.savez_compressed(
-                tok_path,
-                tokens=np.concatenate([z["tokens"], new_tok.astype(z["tokens"].dtype)]),
-                lengths=np.concatenate([z["lengths"], lengths]),
-            )
+            all_tok = np.concatenate([old_tok, new_tok.astype(old_tok.dtype)])
+            all_len = np.concatenate([old_len, lengths])
+            if os.path.exists(raw_path):
+                np.save(raw_path, all_tok)
+                np.save(f"{prefix}.lengths.npy", all_len)
+            else:
+                np.savez_compressed(tok_path, tokens=all_tok, lengths=all_len)
         # 3. graph insert, in bounded batches
         for s in range(0, len(chunks), insert_batch_size):
             insert(prefix, embeddings[s : s + insert_batch_size])
@@ -387,7 +399,16 @@ class LeannBuilder:
         ids_arr, mask = enc.tokenize(texts)
         lengths = mask.sum(axis=1).astype(np.int32)
         dtype = np.uint16 if enc.cfg.vocab_size <= 65535 else np.int32
-        np.savez_compressed(f"{prefix}.tokens.npz", tokens=ids_arr.astype(dtype), lengths=lengths)
+        tok = ids_arr.astype(dtype)
+        if tok.nbytes > RAW_TOKEN_STORE_BYTES:
+            # raw .npy above ~1 GB: np.load(mmap_mode='r') maps it instantly
+            # and the host-deferred rerank gather touches only needed pages —
+            # an npz would decompress the whole store (7.7 GB at 60M) on
+            # every searcher construction
+            np.save(f"{prefix}.tokens.npy", tok)
+            np.save(f"{prefix}.lengths.npy", lengths)
+        else:
+            np.savez_compressed(f"{prefix}.tokens.npz", tokens=tok, lengths=lengths)
 
     def _backend_build(self, embeddings: np.ndarray, ids: List[str], prefix: str) -> None:
         if self.distance_metric == "cosine":

@@ -79,7 +79,16 @@ class BaseSearcher:
     def load_tokens(self) -> "tuple[np.ndarray, np.ndarray] | None":
         """Load the build-time token matrix -> (tokens [N, T] u16|i32, lengths [N]).
         Tokens keep their stored dtype (u16 when the vocab fits) so the HBM
-        copy is half-size; encode_tokens casts to i32 after the gather."""
+        copy is half-size; encode_tokens casts to i32 after the gather.
+        Large stores are raw .npy (written above RAW_TOKEN_STORE_BYTES) and
+        come back MEMMAPPED — host-deferred rerank gathers touch only the
+        pages they need; device uploads read through the map once."""
+        raw = f"{self.index_path}.tokens.npy"
+        if os.path.exists(raw):
+            return (
+                np.load(raw, mmap_mode="r"),
+                np.load(f"{self.index_path}.lengths.npy").astype(np.int32),
+            )
         path = f"{self.index_path}.tokens.npz"
         if not os.path.exists(path):
             return None

@@ -155,6 +155,13 @@ class DiskannBuilder(LeannBackendBuilderInterface):
         relayout must permute it to match the relabeled graph."""
         import os
 
+        raw = f"{index_path}.tokens.npy"
+        if os.path.exists(raw):
+            tok = np.load(raw, mmap_mode="r")[order]  # materializes once
+            np.save(raw, tok)
+            lp = f"{index_path}.lengths.npy"
+            np.save(lp, np.load(lp)[order])
+            return
         path = f"{index_path}.tokens.npz"
         if not os.path.exists(path):
             return
@@ -167,7 +174,19 @@ class DiskannSearcher(BaseSearcher, LeannBackendSearcherInterface):
     graph/codes/tokens over a ``gp`` mesh — block shards coincide with LDG
     partitions, so expansion is mostly HBM-local."""
 
-    def __init__(self, index_path: str, sharded: "bool | str" = False, **kwargs):
+    # above this size the token store stays host-resident and the exact
+    # rerank runs as a second dispatch over host-gathered rows (at 60M chunks
+    # the u16[N,T] store is ~7.7 GB — it cannot share a 16 GB HBM with the
+    # graph + codes; host RAM is ~8x larger)
+    HOST_TOKEN_BYTES = 4 << 30
+
+    def __init__(self, index_path: str, sharded: "bool | str" = False,
+                 token_residency: str = "auto", **kwargs):
+        """``token_residency``: 'device' uploads the token store to HBM (the
+        fused single-dispatch rerank), 'host' keeps it in host RAM and defers
+        the exact rerank to a second dispatch over host-gathered rows (the
+        beyond-HBM path; TPU analogue of the reference's disk-deferred fetch,
+        diskann_backend.py:444-467), 'auto' picks by store size."""
         super().__init__(index_path, **kwargs)
         z = np.load(f"{index_path}.diskann.npz", allow_pickle=False)
         self.neighbors = jnp.asarray(z["neighbors"])
@@ -182,11 +201,32 @@ class DiskannSearcher(BaseSearcher, LeannBackendSearcherInterface):
         self.codebooks = jnp.asarray(cb)
         self.emb = jnp.asarray(z["embeddings"]) if "embeddings" in z else dummy
         self.entry_emb = jnp.asarray(z["entry_emb"], jnp.bfloat16) if "entry_emb" in z else None
+        want_sharded = sharded is True or (sharded == "auto" and self._n_devices() > 1)
+        self.tokens_host = None
+        self.lengths_host = None
         tok = self.load_tokens()
         if tok is not None:
-            self.tokens = jnp.asarray(tok[0])
-            self.lengths = jnp.asarray(tok[1])
+            # sharded mode shards tokens over device HBMs instead (per-device
+            # slices are 1/n_devices the size); host residency is the
+            # single-chip beyond-HBM answer
+            host = (not want_sharded) and (
+                token_residency == "host"
+                or (token_residency == "auto" and tok[0].nbytes > self.HOST_TOKEN_BYTES)
+            )
             self.has_tokens = True
+            if host:
+                # kept as-is: raw stores arrive memmapped and the per-query
+                # gather reads only the pages it needs — materializing here
+                # would pull the whole (multi-GB) store into RAM
+                self.tokens_host = tok[0]
+                self.lengths_host = np.asarray(tok[1], np.int32)
+                self.tokens = jnp.zeros((1, 1), jnp.int32)
+                self.lengths = jnp.zeros((1,), jnp.int32)
+                logger.info("diskann tokens host-resident (%.2f GB); deferred rerank",
+                            tok[0].nbytes / 2**30)
+            else:
+                self.tokens = jnp.asarray(tok[0])
+                self.lengths = jnp.asarray(tok[1])
         else:
             self.tokens = jnp.zeros((1, 1), jnp.int32)
             self.lengths = jnp.zeros((1,), jnp.int32)
@@ -232,6 +272,11 @@ class DiskannSearcher(BaseSearcher, LeannBackendSearcherInterface):
     ) -> Dict[str, np.ndarray]:
         # adaptive_steps > 0: two-phase batched search (see hnsw.search)
         adaptive_steps = int(kwargs.pop("adaptive_steps", 0) or 0)
+        if self.tokens_host is not None and kwargs.get("recompute_embeddings", True):
+            return self._search_host_rerank(
+                np.ascontiguousarray(query, dtype=np.float32), top_k,
+                adaptive_steps=adaptive_steps, **kwargs,
+            )
         cfg, enc_params = self._make_cfg(top_k, **kwargs)
         q = jnp.asarray(np.ascontiguousarray(query, dtype=np.float32))
         if self._sharded is not None:
@@ -251,6 +296,11 @@ class DiskannSearcher(BaseSearcher, LeannBackendSearcherInterface):
         """Fused single-dispatch path (see hnsw.search_text); accepts a batch."""
         queries = [query] if isinstance(query, str) else list(query)
         adaptive_steps = int(kwargs.pop("adaptive_steps", 0) or 0)
+        if self.tokens_host is not None and kwargs.get("recompute_embeddings", True):
+            q = self._encoder().encode(queries)
+            if self.metric == "cosine":
+                q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+            return self._search_host_rerank(q, top_k, adaptive_steps=adaptive_steps, **kwargs)
         cfg, enc_params = self._make_cfg(top_k, need_encoder=True, **kwargs)
         enc = self._encoder()
         if self._sharded is not None:
@@ -272,6 +322,55 @@ class DiskannSearcher(BaseSearcher, LeannBackendSearcherInterface):
         real_b, (q_ids, q_mask) = pad_batch_rows(q_ids, q_mask)
         packed = beam_search_text_batch_packed(
             jnp.asarray(q_ids), jnp.asarray(q_mask), self._graph_data(), cfg, enc_params
+        )
+        labels, dists = unpack_results(packed)
+        return {"labels": labels[:real_b], "distances": dists[:real_b]}
+
+    def _search_host_rerank(
+        self,
+        q: np.ndarray,
+        top_k: int,
+        *,
+        complexity: int = 64,
+        beam_width: int = 4,
+        rerank_size: int = 0,
+        adaptive_steps: int = 0,
+        **kwargs,
+    ) -> Dict[str, np.ndarray]:
+        """Beyond-HBM search: on-chip PQ traversal returns the top-RR pool
+        head (dispatch 1), the host gathers those token rows from the
+        RAM-resident store, and a second program re-encodes them for the
+        exact rerank (dispatch 2). The TPU-native form of the reference's
+        disk-deferred fetch (diskann_backend.py:444-467) — it pays one extra
+        device round-trip where the reference pays a ZMQ hop per rerank
+        batch, and HBM only ever holds graph + codes + RR token rows."""
+        from ...ops.beam_search import beam_search_adaptive, rerank_tokens_batch
+
+        l = max(complexity, top_k, beam_width)
+        rr = min(l, rerank_size) if rerank_size else l
+        rr = max(rr, top_k)
+        kwargs.pop("recompute_embeddings", None)
+        # traversal program: PQ distances only, pool head of size rr out
+        cfg, _ = self._make_cfg(
+            rr, complexity=complexity, beam_width=beam_width,
+            recompute_embeddings=False, need_encoder=True, **kwargs,
+        )
+        enc = self._encoder()
+        real_b, (qp,) = pad_batch_rows(np.asarray(q, dtype=np.float32))
+        if adaptive_steps:
+            ids, _, _, _ = beam_search_adaptive(
+                qp, self._graph_data(), cfg, None, first_steps=adaptive_steps
+            )
+        else:
+            packed = beam_search_batch_packed(jnp.asarray(qp), self._graph_data(), cfg, None)
+            ids, _ = unpack_results(packed)
+        safe = np.clip(ids, 0, self.n - 1)
+        toks = self.tokens_host[safe]  # [B, rr, T] — the only token bytes that move
+        lens = self.lengths_host[safe]
+        packed = rerank_tokens_batch(
+            jnp.asarray(qp), jnp.asarray(toks), jnp.asarray(lens), jnp.asarray(ids),
+            k=top_k, metric=self.metric, normalize=(self.metric == "cosine"),
+            enc_cfg=enc.cfg, enc_params=enc.params,
         )
         labels, dists = unpack_results(packed)
         return {"labels": labels[:real_b], "distances": dists[:real_b]}

@@ -435,5 +435,34 @@ def beam_search_text_batch_packed(q_ids: jnp.ndarray, q_mask: jnp.ndarray, g: Gr
     return pack_results(labels, dists)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "metric", "normalize", "enc_cfg"))
+def rerank_tokens_batch(q, toks, lens, ids, k: int, metric: str, normalize: bool,
+                        enc_cfg, enc_params):
+    """Host-deferred exact rerank: re-encode HOST-GATHERED token rows on-chip
+    and return the exact top-k. q [B,D] f32, toks [B,RR,T] i32, lens [B,RR]
+    i32, ids [B,RR] i32 (-1 padded) -> packed i32[B, 2k].
+
+    This is the second dispatch of the beyond-HBM search path (DiskANN's
+    disk-deferred fetch, reference diskann_backend.py:444-467, re-designed
+    for a TPU whose HBM cannot hold the token store at 60M chunks): the PQ
+    traversal runs entirely on-chip against codes+graph, only the top-L pool
+    ids cross to the host, the host gathers L token rows from its RAM/mmap
+    store, and this program produces exact distances. Two dispatches total —
+    the reference pays a ZMQ round-trip per rerank batch instead."""
+    rr, t = toks.shape[1], toks.shape[2]
+
+    def one(qi, ti, li, ii):
+        mask = (jax.lax.broadcasted_iota(jnp.int32, (rr, t), 1) < li[:, None]).astype(jnp.int32)
+        e = encode_tokens(enc_params, ti, mask, enc_cfg)
+        if normalize and not enc_cfg.normalize:
+            e = e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-12)
+        d = jnp.where(ii >= 0, _metric_dists(qi, e, metric), INF)
+        d, ii = jax.lax.sort((d, ii), num_keys=1)
+        return ii[:k], d[:k]
+
+    labels, dists = jax.vmap(one)(q, toks, lens, ids)
+    return pack_results(labels, dists)
+
+
 def make_dummy(shape=(1, 1), dtype=jnp.float32):
     return jnp.zeros(shape, dtype)

@@ -468,6 +468,124 @@ class TestPruningStrategies:
             assert self_hit / len(qi) >= 0.8, strat
 
 
+class TestHostDeferredRerank:
+    """token_residency='host' (beyond-HBM path): PQ traversal on-chip, token
+    store in host RAM, exact rerank as a second dispatch over host-gathered
+    rows. Must produce the same results as the fused device-token path —
+    same pool head, same encode, same metric math."""
+
+    @pytest.fixture(scope="class")
+    def built(self, tmp_path_factory):
+        from leann_tpu import LeannBuilder
+
+        rng = np.random.default_rng(13)
+        texts = [f"doc {i} " + " ".join(f"w{rng.integers(0, 300)}" for _ in range(10))
+                 for i in range(300)]
+        prefix = str(tmp_path_factory.mktemp("hostrr") / "h.leann")
+        b = LeannBuilder(backend_name="diskann", embedding_model="hash-tiny",
+                         max_length=32, M=8)
+        for t in texts:
+            b.add_text(t)
+        b.build_index(prefix)
+        return prefix, texts
+
+    def test_parity_with_device_tokens(self, built):
+        from leann_tpu.backends.diskann.backend import DiskannSearcher
+        from leann_tpu.embeddings.encoder import get_encoder
+
+        prefix, texts = built
+        q = get_encoder("hash-tiny", max_length=32).encode(
+            [texts[7], texts[120], texts[255]]
+        )
+        dev = DiskannSearcher(prefix)  # auto -> device at this size
+        assert dev.tokens_host is None
+        host = DiskannSearcher(prefix, token_residency="host")
+        assert host.tokens_host is not None and host.tokens.shape == (1, 1)
+        kw = dict(top_k=5, complexity=24, beam_width=4, rerank_size=16)
+        rd = dev.search(q, **kw)
+        rh = host.search(q, **kw)
+        np.testing.assert_array_equal(rh["labels"], rd["labels"])
+        np.testing.assert_allclose(rh["distances"], rd["distances"], rtol=1e-5)
+        # adaptive two-phase composes with the host rerank
+        ra = host.search(q, adaptive_steps=2, **kw)
+        np.testing.assert_array_equal(ra["labels"], rd["labels"])
+
+    def test_search_text_host_path(self, built):
+        from leann_tpu.backends.diskann.backend import DiskannSearcher
+
+        prefix, texts = built
+        dev = DiskannSearcher(prefix)
+        host = DiskannSearcher(prefix, token_residency="host")
+        kw = dict(top_k=3, complexity=64, beam_width=4)
+        rd = dev.search_text([texts[42], texts[200]], **kw)
+        rh = host.search_text([texts[42], texts[200]], **kw)
+        np.testing.assert_array_equal(rh["labels"], rd["labels"])
+        np.testing.assert_allclose(rh["distances"], rd["distances"], rtol=1e-5)
+        # at cx64 this fixture matches the flat MIPS oracle exactly; the
+        # query's own chunk is rank 1. Backend labels are LDG-relabeled rows —
+        # map through ids.json (what the API layer does) before comparing.
+        import json
+
+        ids = json.load(open(f"{prefix}.ids.json"))
+        assert ids[rh["labels"][0][0]] == "42" and ids[rh["labels"][1][0]] == "200"
+
+
+class TestRawTokenStore:
+    """Above RAW_TOKEN_STORE_BYTES the token store is raw .npy (memmapped at
+    load) instead of npz. Forced on via monkeypatch: build, search (device
+    and host residency), and incremental append must all behave identically
+    to the npz path."""
+
+    def test_raw_roundtrip_search_and_append(self, tmp_path, monkeypatch):
+        import os
+
+        import leann_tpu.api as api
+        from leann_tpu import LeannBuilder
+        from leann_tpu.backends.diskann.backend import DiskannSearcher
+        from leann_tpu.embeddings.encoder import get_encoder
+
+        monkeypatch.setattr(api, "RAW_TOKEN_STORE_BYTES", 0)
+        rng = np.random.default_rng(5)
+        texts = [f"doc {i} " + " ".join(f"w{rng.integers(0, 200)}" for _ in range(8))
+                 for i in range(150)]
+        prefix = str(tmp_path / "raw.leann")
+        b = LeannBuilder(backend_name="diskann", embedding_model="hash-tiny",
+                         max_length=32, M=8)
+        for t in texts:
+            b.add_text(t)
+        b.build_index(prefix)
+        assert os.path.exists(f"{prefix}.tokens.npy")
+        assert not os.path.exists(f"{prefix}.tokens.npz")
+        dev = DiskannSearcher(prefix)
+        host = DiskannSearcher(prefix, token_residency="host")
+        assert isinstance(host.tokens_host, np.memmap)  # raw store stays mapped
+        q = get_encoder("hash-tiny", max_length=32).encode([texts[10], texts[99]])
+        rd = dev.search(q, top_k=3, complexity=32)
+        rh = host.search(q, top_k=3, complexity=32)
+        np.testing.assert_array_equal(rh["labels"], rd["labels"])
+        # incremental append keeps the raw format and stays searchable
+        # (hnsw: diskann's partition-contiguous relabeling forbids inserts)
+        hp = str(tmp_path / "rawh.leann")
+        bh = LeannBuilder(backend_name="hnsw", embedding_model="hash-tiny",
+                          max_length=32, M=8)
+        for t in texts:
+            bh.add_text(t)
+        bh.build_index(hp)
+        assert os.path.exists(f"{hp}.tokens.npy")
+        b2 = LeannBuilder(backend_name="hnsw", embedding_model="hash-tiny",
+                          max_length=32, M=8)
+        for i in range(10):
+            b2.add_text(f"appended {i} w7 w8 w9")
+        b2.update_index(hp)
+        tok = np.load(f"{hp}.tokens.npy", mmap_mode="r")
+        assert tok.shape[0] == 160
+        from leann_tpu.backends.hnsw.backend import HnswSearcher
+
+        s2 = HnswSearcher(hp)
+        r2 = s2.search(q, top_k=3, complexity=32, prune_ratio=0.5)
+        assert (np.asarray(r2["labels"]) >= 0).all()
+
+
 class TestMipsGraphAugmentation:
     """MIPS -> L2 augmentation at build: without it an L2-built graph serves
     the dot-product objective badly (measured recall@3 0.56 at 100K/768-d)."""
