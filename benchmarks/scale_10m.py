@@ -40,7 +40,8 @@ def host_oracle(emb_n: np.ndarray, qv: np.ndarray, k: int, block: int = 1 << 20)
     best_d = np.full((nq, k), -np.inf, np.float32)
     best_i = np.full((nq, k), -1, np.int64)
     for s in range(0, emb_n.shape[0], block):
-        sims = qv @ emb_n[s : s + block].T  # [nq, block]
+        # block cast: f16 matrices matmul at f16 speed in numpy (no BLAS)
+        sims = qv @ np.asarray(emb_n[s : s + block], dtype=np.float32).T  # [nq, block]
         cat_d = np.concatenate([best_d, sims], axis=1)
         cat_i = np.concatenate(
             [best_i, np.broadcast_to(np.arange(s, s + sims.shape[1]), sims.shape)], axis=1
@@ -63,6 +64,10 @@ def main():
     ap.add_argument("--beam-width", type=int, default=16)
     ap.add_argument("--rerank-size", type=int, default=64)
     ap.add_argument("--out-dir", default="")
+    # f16 halves every host-resident [N, D] (encode buffer, build input):
+    # required beyond ~12M chunks on a 125 GB host; quality is bf16-matmul-
+    # bound on device either way
+    ap.add_argument("--emb-dtype", default="f32", choices=["f32", "f16"])
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -75,9 +80,18 @@ def main():
 
     enc = get_encoder("hash-minilm", max_length=args.max_length)
     t0 = time.time()
-    emb = enc.encode(chunks, batch_size=4096)
+    if args.emb_dtype == "f16":
+        emb = np.empty((len(chunks), enc.cfg.dim), np.float16)
+        step = 1 << 20
+        for st in range(0, len(chunks), step):
+            emb[st : st + step] = enc.encode(
+                chunks[st : st + step], batch_size=4096
+            ).astype(np.float16)
+            print(f"  encoded {min(st + step, len(chunks))}/{len(chunks)}", flush=True)
+    else:
+        emb = enc.encode(chunks, batch_size=4096)
     phases["encode_s"] = round(time.time() - t0, 1)
-    print(f"[{phases['encode_s']}s] encoded {emb.shape}", flush=True)
+    print(f"[{phases['encode_s']}s] encoded {emb.shape} {emb.dtype}", flush=True)
 
     # ---- oracle FIRST, on in-place-normalized embeddings ------------------
     # (the builder's cosine path also normalizes in place, so no extra [N, D]
@@ -87,9 +101,11 @@ def main():
     q_idx = rng.choice(len(chunks), args.n_queries, replace=False)
     queries = [" ".join(chunks[i].split()[:12]) for i in q_idx]
     t0 = time.time()
-    norms = np.linalg.norm(emb, axis=1, keepdims=True)
-    np.divide(emb, np.maximum(norms, 1e-12), out=emb)
-    del norms
+    blk = 1 << 20  # blockwise in-place normalize: no full-size temporaries
+    for st in range(0, n_total, blk):
+        b32 = emb[st : st + blk].astype(np.float32)
+        nb = np.linalg.norm(b32, axis=1, keepdims=True)
+        emb[st : st + blk] = (b32 / np.maximum(nb, 1e-12)).astype(emb.dtype)
     qv = enc.encode(queries)
     qv /= np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
     truth = host_oracle(emb, qv, 3)

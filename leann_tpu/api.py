@@ -367,8 +367,15 @@ class LeannBuilder:
         disabled (there is nothing to re-encode).
 
         NOTE: with ``distance_metric="cosine"`` the embeddings array may be
-        L2-normalized IN PLACE (avoids a second multi-GB copy at scale)."""
-        embeddings = np.ascontiguousarray(embeddings, dtype=np.float32)
+        L2-normalized IN PLACE (avoids a second multi-GB copy at scale).
+        float16 input is accepted and PRESERVED end-to-end (the host
+        high-water halves at 10M+ rows; all device compute casts per-chunk
+        to bf16/f32 anyway, and recall is bf16-matmul-bound, not storage-
+        precision-bound)."""
+        if embeddings.dtype != np.float16:
+            embeddings = np.ascontiguousarray(embeddings, dtype=np.float32)
+        else:
+            embeddings = np.ascontiguousarray(embeddings)
         if len(ids) != embeddings.shape[0]:
             raise ValueError("ids/embeddings length mismatch")
         self.dimensions = int(embeddings.shape[1])
@@ -418,8 +425,18 @@ class LeannBuilder:
             # (mmap'd .npy etc.) get the copy they require.
             if not embeddings.flags.writeable:
                 embeddings = embeddings.copy()
-            norms = np.linalg.norm(embeddings, axis=1, keepdims=True)
-            np.divide(embeddings, np.maximum(norms, 1e-12), out=embeddings)
+            if embeddings.dtype == np.float16:
+                # blockwise f32 math, cast back in place: full-matrix f16
+                # norm accumulation loses ~2 digits and a second f32 copy
+                # defeats the point of the f16 store
+                blk = 1 << 20
+                for s in range(0, embeddings.shape[0], blk):
+                    b32 = embeddings[s : s + blk].astype(np.float32)
+                    nb = np.linalg.norm(b32, axis=1, keepdims=True)
+                    embeddings[s : s + blk] = (b32 / np.maximum(nb, 1e-12)).astype(np.float16)
+            else:
+                norms = np.linalg.norm(embeddings, axis=1, keepdims=True)
+                np.divide(embeddings, np.maximum(norms, 1e-12), out=embeddings)
         factory = get_backend(self.backend_name)
         builder = factory.builder(
             distance_metric=self.distance_metric,

@@ -113,6 +113,6 @@ def mips_augment(data):
     only; stored/PQ/search operate on the raw vectors."""
     import numpy as np
 
-    norms2 = np.einsum("ij,ij->i", data, data)
-    aug = np.sqrt(np.maximum(norms2.max() - norms2, 0.0)).astype(np.float32)
+    norms2 = np.einsum("ij,ij->i", data, data, dtype=np.float32)  # f32 accum for f16 inputs
+    aug = np.sqrt(np.maximum(norms2.max() - norms2, 0.0)).astype(data.dtype)
     return np.concatenate([data, aug[:, None]], axis=1)

@@ -79,7 +79,12 @@ class DiskannBuilder(LeannBackendBuilderInterface):
         self.build_sharded = build_sharded
 
     def build(self, data: np.ndarray, ids: list, index_path: str, **kwargs) -> None:
-        data = np.ascontiguousarray(data, dtype=np.float32)
+        # f16 input is preserved (halves the host high-water at 10M+ rows);
+        # device compute paths cast per-chunk (bf16 matmuls / f32 norms)
+        if data.dtype != np.float16:
+            data = np.ascontiguousarray(data, dtype=np.float32)
+        else:
+            data = np.ascontiguousarray(data)
         n, d = data.shape
         graph_data = mips_augment(data) if self.distance_metric == "mips" else data
         r = self.graph_degree

@@ -106,7 +106,12 @@ class HnswBuilder(LeannBackendBuilderInterface):
         self.build_sharded = build_sharded
 
     def build(self, data: np.ndarray, ids: list, index_path: str, **kwargs) -> None:
-        data = np.ascontiguousarray(data, dtype=np.float32)
+        # f16 input is preserved (halves the host high-water at 10M+ rows);
+        # device compute paths cast per-chunk (bf16 matmuls / f32 norms)
+        if data.dtype != np.float16:
+            data = np.ascontiguousarray(data, dtype=np.float32)
+        else:
+            data = np.ascontiguousarray(data)
         n, d = data.shape
         graph_data = mips_augment(data) if self.distance_metric == "mips" else data
         cand_factor = max(2, min(8, self.ef_construction // max(self.m, 1)))
@@ -418,7 +423,8 @@ def insert_hnsw(index_path: str, new_emb: np.ndarray, ef: int = 64, alpha: float
             cb = lift_codebooks(z["pq_rotation"], cb)
         z["codes"] = np.concatenate([z["codes"], encode_pq_blocked(new_emb, cb)])
     if "embeddings" in z:
-        z["embeddings"] = np.concatenate([z["embeddings"], new_emb])
+        # stay in the stored dtype (f16 stores would silently promote to f32)
+        z["embeddings"] = np.concatenate([z["embeddings"], new_emb.astype(z["embeddings"].dtype)])
     # keep the entry pool covering the appended id range. At scale the cap is
     # the builder's rule (_pool_cap: n/16 up to 32768) computed at the
     # post-insert N — the old fixed 4096 cap silently froze seed coverage for

@@ -93,7 +93,9 @@ def _exact_knn_device(emb: jnp.ndarray, n_real: jnp.ndarray, q_start: jnp.ndarra
     tunneled-TPU watchdog (observed worker crash mid-build)."""
     np_total, d = emb.shape
     ebf = emb.astype(jnp.bfloat16)
-    norms = jnp.sum(jnp.square(emb), axis=1)  # f32 [Np]
+    # f32 accumulation regardless of input dtype (f16 host matrices at scale
+    # would otherwise accumulate norms in f16); no-op convert for f32 inputs
+    norms = jnp.sum(jnp.square(emb.astype(jnp.float32)), axis=1)  # f32 [Np]
     n_tiles = np_total // tile
 
     def panel_topk(neg_d, k):
@@ -345,7 +347,7 @@ def cluster_window_init(
     np_w = _bucket_rows(ne, window)
     emb_o = jnp.asarray(_pad_rows(emb[exp_orig], np_w))
     ids_w, dists_w = _window_knn_device(
-        emb_o.astype(jnp.bfloat16), jnp.sum(jnp.square(emb_o), axis=1),
+        emb_o.astype(jnp.bfloat16), jnp.sum(jnp.square(emb_o.astype(jnp.float32)), axis=1),
         jnp.int32(ne), k, window,
     )
     ids_w = np.asarray(ids_w)[:ne]
@@ -642,7 +644,7 @@ def nn_descent(
     nbrs = jnp.asarray(_pad_rows(nbrs0, np_total, fill=-1))
     emb_p = jnp.asarray(_pad_rows(emb, np_total))
     ebf = emb_p.astype(jnp.bfloat16)
-    norms = jnp.sum(jnp.square(emb_p), axis=1)
+    norms = jnp.sum(jnp.square(emb_p.astype(jnp.float32)), axis=1)
     dists = jnp.asarray(_pad_rows(dists0, np_total, fill=np.float32(3.4e38)))
     base_key = jax.random.key(seed)
     rev_jit = jax.jit(_reverse_edges_device, static_argnames=("cap",))
@@ -851,8 +853,9 @@ def compute_medoid(emb: np.ndarray) -> int:
             if d[i] < best_d:
                 best_d, best_i = float(d[i]), s + i
         return best_i
-    mean = jnp.mean(jnp.asarray(emb), axis=0, keepdims=True)
-    d = jnp.sum(jnp.square(jnp.asarray(emb) - mean), axis=1)
+    e = jnp.asarray(emb).astype(jnp.float32)  # f16 inputs: f32 accumulation
+    mean = jnp.mean(e, axis=0, keepdims=True)
+    d = jnp.sum(jnp.square(e - mean), axis=1)
     return int(jnp.argmin(d))
 
 
@@ -905,11 +908,11 @@ def build_graph(
         ebf_host[:n] = emb
         ebf = jnp.asarray(ebf_host)
         del ebf_host
-        nrm = jnp.asarray(_pad_rows(np.einsum("ij,ij->i", emb, emb).astype(np.float32), np_total))
+        nrm = jnp.asarray(_pad_rows(np.einsum("ij,ij->i", emb, emb, dtype=np.float32).astype(np.float32), np_total))
     else:
         emb_p = jnp.asarray(_pad_rows(emb, np_total))
         ebf = emb_p.astype(jnp.bfloat16)
-        nrm = jnp.sum(jnp.square(emb_p), axis=1)
+        nrm = jnp.sum(jnp.square(emb_p.astype(jnp.float32)), axis=1)
         del emb_p
     cand_d = jnp.asarray(_pad_rows(knn_ids, np_total, fill=-1))
     # chunk dispatches (~128K rows each) so none outlives the tunnel watchdog

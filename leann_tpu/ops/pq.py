@@ -89,6 +89,7 @@ def train_pq(
     ds = d // m
     rng = np.random.default_rng(seed)
     x = _bucket_sample(x, sample, rng)
+    x = np.asarray(x, np.float32)  # f16 host matrices: train on an f32 sample
     xs = jnp.asarray(x.reshape(-1, m, ds).transpose(1, 0, 2))  # [M, S, ds]
     k_eff = min(k, xs.shape[1])
     init_idx = rng.choice(xs.shape[1], k_eff, replace=False)
@@ -186,8 +187,8 @@ def train_opq(
     m = choose_m(d, m)
     ds = d // m
     rng = np.random.default_rng(seed)
-    x = _bucket_sample(x, sample, rng)
-    xd = jnp.asarray(x, jnp.float32)
+    x = np.asarray(_bucket_sample(x, sample, rng), np.float32)  # f16 hosts: f32 sample
+    xd = jnp.asarray(x)
     r = jnp.eye(d, dtype=jnp.float32)  # identity init: starts at plain PQ
     k_eff = min(k, x.shape[0])
     init_idx = rng.choice(x.shape[0], k_eff, replace=False)
@@ -220,7 +221,9 @@ def encode_pq_blocked(x: np.ndarray, codebooks: np.ndarray, block: int = 16384) 
     cb = jnp.asarray(codebooks)
     out = np.empty((x.shape[0], codebooks.shape[0]), dtype=np.uint8)
     for s in range(0, x.shape[0], block):
-        out[s : s + block] = np.asarray(encode_pq(jnp.asarray(x[s : s + block]), cb))
+        out[s : s + block] = np.asarray(
+            encode_pq(jnp.asarray(np.asarray(x[s : s + block], dtype=np.float32)), cb)
+        )
     return out
 
 

@@ -586,6 +586,60 @@ class TestRawTokenStore:
         assert (np.asarray(r2["labels"]) >= 0).all()
 
 
+class TestF16HostMatrix:
+    """float16 embeddings through build_index_from_embeddings are preserved
+    end-to-end (the host high-water halves at 10M+ rows). Quality must track
+    the f32 build — device compute casts per-chunk to bf16/f32 anyway."""
+
+    def _overlap(self, a, b, k=3):
+        return np.mean([len(set(x[:k]) & set(y[:k])) / k for x, y in zip(a, b)])
+
+    def test_f16_stored_cosine(self, rng, tmp_path):
+        from leann_tpu import LeannBuilder, LeannSearcher
+
+        emb = rng.standard_normal((400, 32)).astype(np.float32)
+        ids = [str(i) for i in range(400)]
+        p32 = str(tmp_path / "f32.leann")
+        p16 = str(tmp_path / "f16.leann")
+        for p, e in ((p32, emb.copy()), (p16, emb.astype(np.float16))):
+            b = LeannBuilder(backend_name="hnsw", distance_metric="cosine", M=8)
+            b.build_index_from_embeddings(p, ids, e)
+        z16 = np.load(f"{p16}.hnsw.npz", allow_pickle=False)
+        assert z16["embeddings"].dtype == np.float16  # no silent f32 promotion
+        q = emb[:8] / np.linalg.norm(emb[:8], axis=1, keepdims=True)
+        r32 = LeannSearcher(p32).search(q, top_k=3, complexity=32, beam_width=4)
+        r16 = LeannSearcher(p16).search(q, top_k=3, complexity=32, beam_width=4)
+        l32 = [[r.id for r in row] for row in r32]
+        l16 = [[r.id for r in row] for row in r16]
+        assert self._overlap(l32, l16) >= 0.8
+        # self-retrieval survives the f16 store
+        assert sum(l16[i][0] == str(i) for i in range(8)) >= 7
+
+    def test_f16_compact_diskann(self, tmp_path):
+        from leann_tpu import LeannBuilder, LeannSearcher
+        from leann_tpu.embeddings.encoder import get_encoder
+
+        rng = np.random.default_rng(3)
+        texts = [f"doc {i} " + " ".join(f"w{rng.integers(0, 300)}" for _ in range(10))
+                 for i in range(300)]
+        enc = get_encoder("hash-tiny", max_length=32)
+        emb = enc.encode(texts)
+        ids = [str(i) for i in range(len(texts))]
+        p32 = str(tmp_path / "d32.leann")
+        p16 = str(tmp_path / "d16.leann")
+        for p, e in ((p32, emb.copy()), (p16, emb.astype(np.float16))):
+            b = LeannBuilder(backend_name="diskann", embedding_model="hash-tiny",
+                             max_length=32, M=8)
+            b.build_index_from_embeddings(p, ids, e, texts=texts)
+        qs = [texts[11], texts[150], texts[299]]
+        r32 = LeannSearcher(p32).search(qs, top_k=3, complexity=64, beam_width=4)
+        r16 = LeannSearcher(p16).search(qs, top_k=3, complexity=64, beam_width=4)
+        l32 = [[r.id for r in row] for row in r32]
+        l16 = [[r.id for r in row] for row in r16]
+        assert self._overlap(l32, l16) >= 0.75
+        assert [row[0] for row in l16] == ["11", "150", "299"]
+
+
 class TestMipsGraphAugmentation:
     """MIPS -> L2 augmentation at build: without it an L2-built graph serves
     the dot-product objective badly (measured recall@3 0.56 at 100K/768-d)."""
