@@ -120,6 +120,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--prune-ratio", type=float, default=0.0)
     s.add_argument("--recompute-embeddings", action=argparse.BooleanOptionalAction, default=None)
     s.add_argument("--pruning-strategy", default="global", choices=["global", "local", "proportional"])
+    s.add_argument("--adaptive-steps", type=int, default=0,
+                   help="two-phase batched search: first-pass step cap (0 = off; keep pow2)")
+    s.add_argument("--token-residency", default="auto", choices=["auto", "device", "host"],
+                   help="diskann token store placement (host = beyond-HBM deferred rerank)")
     s.add_argument("--non-interactive", action="store_true", help="plain stdout (for MCP/scripts)")
 
     a = sub.add_parser("ask", help="RAG chat over an index")
@@ -198,11 +202,11 @@ def cmd_search(args) -> int:
     if prefix is None:
         print(f"Index '{args.index_name}' not found. Try 'leann list'.", file=sys.stderr)
         return 1
-    with LeannSearcher(prefix) as s:
+    with LeannSearcher(prefix, token_residency=args.token_residency) as s:
         results = s.search(
             args.query, top_k=args.top_k, complexity=args.complexity, beam_width=args.beam_width,
             prune_ratio=args.prune_ratio, recompute_embeddings=args.recompute_embeddings,
-            pruning_strategy=args.pruning_strategy,
+            pruning_strategy=args.pruning_strategy, adaptive_steps=args.adaptive_steps,
         )
     for i, r in enumerate(results):
         if args.non_interactive:
