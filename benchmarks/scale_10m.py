@@ -18,6 +18,7 @@ import argparse
 import json
 import logging
 import os
+import resource
 import sys
 import tempfile
 import time
@@ -53,6 +54,12 @@ def host_oracle(emb_n: np.ndarray, qv: np.ndarray, k: int, block: int = 1 << 20)
     return np.take_along_axis(best_i, order, 1)
 
 
+def rss_gb() -> float:
+    """Process high-water RSS in GB — printed per phase so the growth point
+    of the host footprint is attributable (the 10M f32 run peaked ~95 GB)."""
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20
+
+
 def main():
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
     ap = argparse.ArgumentParser()
@@ -76,7 +83,7 @@ def main():
     t0 = time.time()
     chunks = synth_corpus(args.n_chunks, rng)
     phases["corpus_s"] = round(time.time() - t0, 1)
-    print(f"[{phases['corpus_s']}s] corpus: {len(chunks)}", flush=True)
+    print(f"[{phases['corpus_s']}s] corpus: {len(chunks)} (rss {rss_gb():.1f} GB)", flush=True)
 
     enc = get_encoder("hash-minilm", max_length=args.max_length)
     t0 = time.time()
@@ -91,7 +98,7 @@ def main():
     else:
         emb = enc.encode(chunks, batch_size=4096)
     phases["encode_s"] = round(time.time() - t0, 1)
-    print(f"[{phases['encode_s']}s] encoded {emb.shape} {emb.dtype}", flush=True)
+    print(f"[{phases['encode_s']}s] encoded {emb.shape} {emb.dtype} (rss {rss_gb():.1f} GB)", flush=True)
 
     # ---- oracle FIRST, on in-place-normalized embeddings ------------------
     # (the builder's cosine path also normalizes in place, so no extra [N, D]
@@ -110,7 +117,7 @@ def main():
     qv /= np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
     truth = host_oracle(emb, qv, 3)
     phases["oracle_s"] = round(time.time() - t0, 1)
-    print(f"[{phases['oracle_s']}s] oracle done", flush=True)
+    print(f"[{phases['oracle_s']}s] oracle done (rss {rss_gb():.1f} GB)", flush=True)
 
     out_dir = args.out_dir or tempfile.mkdtemp(prefix="leann_10m_")
     os.makedirs(out_dir, exist_ok=True)
@@ -127,7 +134,7 @@ def main():
     b.build_index_from_embeddings(prefix, [str(i) for i in range(len(chunks))], emb,
                                   texts=chunks)
     phases["build_s"] = round(time.time() - t0, 1)
-    print(f"[{phases['build_s']}s] index built", flush=True)
+    print(f"[{phases['build_s']}s] index built (rss {rss_gb():.1f} GB)", flush=True)
     del emb, chunks  # free ~18 GB before the searcher loads the index
 
     # all-in accounting (everything needed to search; text excluded)

@@ -403,10 +403,22 @@ class LeannBuilder:
         from .embeddings.encoder import get_encoder
 
         enc = get_encoder(self.embedding_model, max_length=self.max_length)
-        ids_arr, mask = enc.tokenize(texts)
-        lengths = mask.sum(axis=1).astype(np.int32)
         dtype = np.uint16 if enc.cfg.vocab_size <= 65535 else np.int32
-        tok = ids_arr.astype(dtype)
+        # sliced tokenize straight into the u16 buffer: one full-corpus
+        # tokenize holds [N, T] i32 ids + i32 mask at once (~10 GB transient
+        # at 20M x 64) — per-slice the transient is a few MB at any N
+        n = len(texts)
+        if not n:
+            return
+        step = 1 << 20
+        tok = None
+        lengths = np.empty((n,), np.int32)
+        for s in range(0, n, step):
+            ids_arr, mask = enc.tokenize(texts[s : s + step])
+            if tok is None:
+                tok = np.empty((n, ids_arr.shape[1]), dtype)
+            tok[s : s + step] = ids_arr
+            lengths[s : s + step] = mask.sum(axis=1)
         if tok.nbytes > RAW_TOKEN_STORE_BYTES:
             # raw .npy above ~1 GB: np.load(mmap_mode='r') maps it instantly
             # and the host-deferred rerank gather touches only needed pages —

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import os
 import time
 from typing import Tuple
 
@@ -41,6 +42,12 @@ import jax.numpy as jnp
 import numpy as np
 
 logger = logging.getLogger(__name__)
+
+
+def _rss_gb() -> float:
+    import resource
+
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20
 
 INF = jnp.float32(3.4e38)
 # Beyond this, build_graph switches to NN-descent. The exact O(N²·D) pass is
@@ -51,6 +58,13 @@ INF = jnp.float32(3.4e38)
 # 0.58), while exact extrapolates to ~690 s. Descent owns the regime where
 # N² stops being payable (~10 min/M² rows).
 EXACT_KNN_MAX_N = 4 << 20
+
+# Above this bf16 footprint the α-prune stops keeping the corpus matrix
+# device-resident and instead decodes candidate embeddings on-chip from
+# device-resident PQ codes (u8 [N, M]); at 60M x 384 the bf16 matrix is 46 GB
+# vs 16 GB of v5e HBM, while M=64 codes are 3.8 GB. ~10 GB default leaves
+# headroom for per-dispatch buffers + XLA workspace on a 16 GB chip.
+PRUNE_EBF_MAX_BYTES = int(os.environ.get("LEANN_PRUNE_EBF_MAX_BYTES", str(10 << 30)))
 
 
 def _pad_rows(x: np.ndarray, np_total: int, fill=0) -> np.ndarray:
@@ -691,11 +705,38 @@ def nn_descent(
 # ---------------------------------------------------------------------------
 
 
+def _prune_select(cid, d_pc, d_cc, r: int, alpha: float, keep_closest: int):
+    """Greedy α-occlusion selection shared by every prune kernel.
+
+    cid i32[B, C] (-1 invalid), d_pc f32[B, C] node→candidate distances,
+    d_cc f32[B, C, C] candidate↔candidate distances -> selected ids i32[B, R].
+    The first ``keep_closest`` picks skip the occlusion rule (docstring of
+    :func:`_robust_prune_device`)."""
+    b = cid.shape[0]
+
+    def step(sc, t):
+        alive, dpc = sc
+        j = jnp.argmin(jnp.where(alive, dpc, INF), axis=1)  # [B]
+        ok = jnp.take_along_axis(alive, j[:, None], axis=1)[:, 0] & (
+            jnp.take_along_axis(dpc, j[:, None], axis=1)[:, 0] < INF
+        )
+        sel = jnp.where(ok, jnp.take_along_axis(cid, j[:, None], axis=1)[:, 0], -1)
+        # occlusion: drop x with alpha * d(c, x) <= d(p, x)
+        d_jx = jnp.take_along_axis(d_cc, j[:, None, None], axis=1)[:, 0, :]
+        occl = alpha * d_jx <= dpc
+        alive = jnp.where(t >= keep_closest, alive & ~occl, alive)
+        alive = alive.at[jnp.arange(b), j].set(False)
+        return (alive, dpc), sel
+
+    (_, _), sels = jax.lax.scan(step, (cid >= 0, d_pc), jnp.arange(r))
+    return sels.T  # [B, R]
+
+
 @functools.partial(jax.jit, static_argnames=("r", "alpha", "keep_closest", "block", "n_blocks"))
 def _robust_prune_device(
     ebf: jnp.ndarray,      # bf16 [Np, D]
     norms: jnp.ndarray,    # f32 [Np]
-    cand: jnp.ndarray,     # i32 [Np, C] (-1 = invalid)
+    cand: jnp.ndarray,     # i32 [n_blocks*block, C] — THIS dispatch's rows only
     row_start: jnp.ndarray,  # scalar i32 — first row of this dispatch chunk
     r: int,
     alpha: float,
@@ -716,7 +757,11 @@ def _robust_prune_device(
 
     def blk(carry, bi):
         s = row_start + bi * block
-        cid = jax.lax.dynamic_slice(cand, (s, 0), (block, c))
+        # cand holds only this dispatch's rows (uploaded per dispatch,
+        # ~24 MB each): keeping the full [Np, C] candidate matrix device-
+        # resident costs 3-4 GB of HBM at 16M+ rows — HBM the bf16 matrix
+        # needs. cid values themselves index the full ebf.
+        cid = jax.lax.dynamic_slice(cand, (bi * block, 0), (block, c))
         pe = jax.lax.dynamic_slice(ebf, (s, 0), (block, d))
         pn = jax.lax.dynamic_slice(norms, (s,), (block,))
         safe = jnp.clip(cid, 0, np_total - 1)
@@ -729,23 +774,59 @@ def _robust_prune_device(
             "bcd,bed->bce", cemb, cemb, preferred_element_type=jnp.float32
         )
         d_cc = cn[:, :, None] + cn[:, None, :] - 2.0 * cc_dots  # [B, C, C]
+        return carry, _prune_select(cid, d_pc, d_cc, r, alpha, keep_closest)
 
-        def step(sc, t):
-            alive, dpc = sc
-            j = jnp.argmin(jnp.where(alive, dpc, INF), axis=1)  # [B]
-            ok = jnp.take_along_axis(alive, j[:, None], axis=1)[:, 0] & (
-                jnp.take_along_axis(dpc, j[:, None], axis=1)[:, 0] < INF
-            )
-            sel = jnp.where(ok, jnp.take_along_axis(cid, j[:, None], axis=1)[:, 0], -1)
-            # occlusion: drop x with alpha * d(c, x) <= d(p, x)
-            d_jx = jnp.take_along_axis(d_cc, j[:, None, None], axis=1)[:, 0, :]
-            occl = alpha * d_jx <= dpc
-            alive = jnp.where(t >= keep_closest, alive & ~occl, alive)
-            alive = alive.at[jnp.arange(block), j].set(False)
-            return (alive, dpc), sel
+    _, out = jax.lax.scan(blk, None, jnp.arange(n_blocks))
+    return out.reshape(n_blocks * block, r)
 
-        (_, _), sels = jax.lax.scan(step, (cid >= 0, d_pc), jnp.arange(r))
-        return carry, sels.T  # [B, R]
+
+@functools.partial(jax.jit, static_argnames=("r", "alpha", "keep_closest", "block", "n_blocks"))
+def _robust_prune_pq_device(
+    codes: jnp.ndarray,      # u8 [Np, M] — whole corpus, device-resident
+    codebooks: jnp.ndarray,  # f32 [M, 256, ds] (plain PQ, M*ds = D)
+    pe: jnp.ndarray,         # bf16 [n_blocks*block, D] — exact rows, THIS dispatch
+    cand: jnp.ndarray,       # i32 [n_blocks*block, C] — THIS dispatch's rows
+    r: int,
+    alpha: float,
+    keep_closest: int,
+    block: int,
+    n_blocks: int,
+):
+    """Beyond-HBM α-prune: candidate embeddings decode on-chip from PQ codes.
+
+    At 20M+ x 384 even the bf16 corpus matrix outgrows a single chip's HBM
+    (15 GB at 20M, 46 GB at 60M vs 16 GB on v5e), but u8 codes at ds=6 are
+    12.8x smaller — so the corpus stays on device as codes, the dispatch's own
+    rows arrive exact (uploaded per dispatch, ~100 MB), and each scan block
+    reconstructs its [B, C, D] candidate tensor from per-subspace table
+    gathers. Node→candidate distances mix exact (node side) with quantized
+    (candidate side); candidate↔candidate occlusion is quantized both sides —
+    the same asymmetric-distance trade DiskANN's beyond-RAM build makes with
+    its PQ-screened prune (reference diskann_backend.py build path, PQ pivots
+    feeding the Vamana pass)."""
+    np_total = codes.shape[0]
+    m, k256, ds = codebooks.shape
+    d = m * ds
+    c = cand.shape[1]
+    cbf = codebooks.astype(jnp.bfloat16)  # tables live in VMEM per gather
+
+    def blk(carry, bi):
+        cid = jax.lax.dynamic_slice(cand, (bi * block, 0), (block, c))
+        p = jax.lax.dynamic_slice(pe, (bi * block, 0), (block, d))
+        pn = jnp.sum(jnp.square(p.astype(jnp.float32)), axis=1)
+        safe = jnp.clip(cid, 0, np_total - 1)
+        ccodes = codes[safe].astype(jnp.int32)  # [B, C, M]
+        # decode: per-subspace [256, ds] table gather -> [B, C, M, ds]
+        dec = jax.vmap(lambda tbl, ix: tbl[ix], in_axes=(0, 2), out_axes=2)(cbf, ccodes)
+        cemb = dec.reshape(block, c, d)  # bf16 [B, C, D]
+        cn = jnp.sum(jnp.square(cemb.astype(jnp.float32)), axis=2)
+        dots = jnp.einsum("bd,bcd->bc", p, cemb, preferred_element_type=jnp.float32)
+        d_pc = jnp.where(cid >= 0, pn[:, None] + cn - 2.0 * dots, INF)
+        cc_dots = jnp.einsum(
+            "bcd,bed->bce", cemb, cemb, preferred_element_type=jnp.float32
+        )
+        d_cc = cn[:, :, None] + cn[:, None, :] - 2.0 * cc_dots
+        return carry, _prune_select(cid, d_pc, d_cc, r, alpha, keep_closest)
 
     _, out = jax.lax.scan(blk, None, jnp.arange(n_blocks))
     return out.reshape(n_blocks * block, r)
@@ -775,22 +856,7 @@ def robust_prune_explicit(
     d_pc = jnp.where(cand_ids >= 0, pn[:, None] + cn - 2.0 * dots, INF)
     cc = jnp.einsum("bcd,bed->bce", ce, ce, preferred_element_type=jnp.float32)
     d_cc = cn[:, :, None] + cn[:, None, :] - 2.0 * cc
-
-    def step(sc, t):
-        alive, dpc = sc
-        j = jnp.argmin(jnp.where(alive, dpc, INF), axis=1)
-        ok = jnp.take_along_axis(alive, j[:, None], axis=1)[:, 0] & (
-            jnp.take_along_axis(dpc, j[:, None], axis=1)[:, 0] < INF
-        )
-        sel = jnp.where(ok, jnp.take_along_axis(cand_ids, j[:, None], axis=1)[:, 0], -1)
-        d_jx = jnp.take_along_axis(d_cc, j[:, None, None], axis=1)[:, 0, :]
-        occl = alpha * d_jx <= dpc
-        alive = jnp.where(t >= keep_closest, alive & ~occl, alive)
-        alive = alive.at[jnp.arange(b), j].set(False)
-        return (alive, dpc), sel
-
-    (_, _), sels = jax.lax.scan(step, (cand_ids >= 0, d_pc), jnp.arange(r))
-    return sels.T
+    return _prune_select(cand_ids, d_pc, d_cc, r, alpha, keep_closest)
 
 
 # ---------------------------------------------------------------------------
@@ -893,40 +959,67 @@ def build_graph(
         knn_ids, _ = spill_knn_streamed(emb, c)
     else:
         knn_ids, _ = exact_knn(emb, c, query_block=query_block)
-    logger.info("build_graph knn phase: %.1fs", time.time() - t0)
+    logger.info("build_graph knn phase: %.1fs (host rss %.1f GB)", time.time() - t0, _rss_gb())
 
     t0 = time.time()
     # keep the [block, C, C] occlusion tensor bounded
     blk = max(8, (min(prune_block, int((256 << 20) / max(c * c * 4, 1))) // 8) * 8)
     np_total = _bucket_rows(n, blk)
-    if n > EXACT_KNN_MAX_N:
-        # bf16-only device residency: the padded f32 matrix alone is ~15 GB
-        # at 10M x 384 (over HBM); norms come from a host f32 pass instead.
-        # Single pre-allocated padded buffer (cast-on-assign) — a convert +
-        # concat chain would hold two 7.7 GB host temporaries at once
-        ebf_host = np.zeros((np_total, emb.shape[1]), dtype=jnp.bfloat16)
-        ebf_host[:n] = emb
-        ebf = jnp.asarray(ebf_host)
-        del ebf_host
-        nrm = jnp.asarray(_pad_rows(np.einsum("ij,ij->i", emb, emb, dtype=np.float32).astype(np.float32), np_total))
-    else:
-        emb_p = jnp.asarray(_pad_rows(emb, np_total))
-        ebf = emb_p.astype(jnp.bfloat16)
-        nrm = jnp.sum(jnp.square(emb_p.astype(jnp.float32)), axis=1)
-        del emb_p
-    cand_d = jnp.asarray(_pad_rows(knn_ids, np_total, fill=-1))
+    cand_h = _pad_rows(knn_ids, np_total, fill=-1)  # host-resident; sliced per dispatch
     # chunk dispatches (~128K rows each) so none outlives the tunnel watchdog
     rows_per_dispatch = max(blk, (131072 // blk) * blk)
     neighbors = np.empty((np_total, r), np.int32)
-    for s in range(0, np_total, rows_per_dispatch):
-        nb = min(rows_per_dispatch, np_total - s) // blk
-        sel = _robust_prune_device(
-            ebf, nrm, cand_d, jnp.int32(s),
-            r, float(alpha), keep_closest, blk, n_blocks=nb,
-        )
-        neighbors[s : s + nb * blk] = np.asarray(sel)
+    d_emb = emb.shape[1]
+    pq_mode = np_total * d_emb * 2 > PRUNE_EBF_MAX_BYTES
+
+    if pq_mode:
+        # beyond-HBM prune: corpus lives on device as PQ codes; each
+        # dispatch uploads its own exact rows (bf16) and candidate ids
+        from .pq import choose_m, encode_pq_blocked, train_pq
+
+        m = choose_m(d_emb, max(1, d_emb // 6))  # ds≈6: decode fidelity over code size
+        cb = train_pq(emb, m=m, n_iters=8)
+        codes_d = jnp.asarray(_pad_rows(encode_pq_blocked(emb, cb, block=1 << 16), np_total))
+        cb_d = jnp.asarray(cb)
+        logger.info("prune pq trained+encoded: M=%d codes %.2f GB on device (%.1fs)",
+                    cb.shape[0], codes_d.nbytes / 2**30, time.time() - t0)
+        for s in range(0, np_total, rows_per_dispatch):
+            nb = min(rows_per_dispatch, np_total - s) // blk
+            rows = np.zeros((nb * blk, d_emb), dtype=jnp.bfloat16)
+            real = max(0, min(n, s + nb * blk) - s)
+            rows[:real] = emb[s : s + real]
+            sel = _robust_prune_pq_device(
+                codes_d, cb_d, jnp.asarray(rows), jnp.asarray(cand_h[s : s + nb * blk]),
+                r, float(alpha), keep_closest, blk, n_blocks=nb,
+            )
+            neighbors[s : s + nb * blk] = np.asarray(sel)
+        del codes_d
+    else:
+        if n > EXACT_KNN_MAX_N:
+            # bf16-only device residency: the padded f32 matrix alone is ~15 GB
+            # at 10M x 384 (over HBM); norms come from a host f32 pass instead.
+            # Single pre-allocated padded buffer (cast-on-assign) — a convert +
+            # concat chain would hold two 7.7 GB host temporaries at once
+            ebf_host = np.zeros((np_total, d_emb), dtype=jnp.bfloat16)
+            ebf_host[:n] = emb
+            ebf = jnp.asarray(ebf_host)
+            del ebf_host
+            nrm = jnp.asarray(_pad_rows(np.einsum("ij,ij->i", emb, emb, dtype=np.float32).astype(np.float32), np_total))
+        else:
+            emb_p = jnp.asarray(_pad_rows(emb, np_total))
+            ebf = emb_p.astype(jnp.bfloat16)
+            nrm = jnp.sum(jnp.square(emb_p.astype(jnp.float32)), axis=1)
+            del emb_p
+        for s in range(0, np_total, rows_per_dispatch):
+            nb = min(rows_per_dispatch, np_total - s) // blk
+            sel = _robust_prune_device(
+                ebf, nrm, jnp.asarray(cand_h[s : s + nb * blk]), jnp.int32(s),
+                r, float(alpha), keep_closest, blk, n_blocks=nb,
+            )
+            neighbors[s : s + nb * blk] = np.asarray(sel)
     neighbors = neighbors[:n]
-    logger.info("build_graph prune phase: %.1fs", time.time() - t0)
+    logger.info("build_graph prune phase: %.1fs (pq=%s, host rss %.1f GB)",
+                time.time() - t0, pq_mode, _rss_gb())
 
     out = _fill_reverse_edges(neighbors, np.random.default_rng(0))
     medoid = compute_medoid(emb)

@@ -157,3 +157,60 @@ class TestSpillKnnStreamed:
         r_stream, r_exact = rec(g), rec(g2)
         assert r_stream >= r_exact - 0.08, f"streamed-built {r_stream} vs exact-built {r_exact}"
         _ = dummy
+
+
+class TestPQPrune:
+    """The beyond-HBM prune (20M+ rows): candidates decoded on-chip from
+    device-resident PQ codes instead of a bf16 corpus matrix."""
+
+    def test_matches_exact_prune_quality(self, rng, monkeypatch):
+        import jax.numpy as jnp
+
+        from leann_tpu.ops import graph as G
+        from leann_tpu.ops.beam_search import BeamConfig, GraphData, beam_search_batch
+
+        n, d = 4096, 32
+        centers = rng.standard_normal((24, d)).astype(np.float32) * 3
+        emb = (centers[rng.integers(0, 24, n)]
+               + rng.standard_normal((n, d)).astype(np.float32) * 0.7)
+
+        g_exact, med = G.build_graph(emb, r=8)
+        monkeypatch.setattr(G, "PRUNE_EBF_MAX_BYTES", 1)  # force the PQ path
+        g_pq, med_pq = G.build_graph(emb, r=8)
+
+        assert g_pq.shape == g_exact.shape
+        assert ((g_pq >= -1) & (g_pq < n)).all()
+        for i in range(0, n, 333):  # no self-loops / dups after reverse fill
+            row = g_pq[i][g_pq[i] >= 0]
+            assert i not in row.tolist() and len(set(row.tolist())) == len(row)
+
+        entries = np.unique(np.concatenate([[med], np.arange(0, n, 256)])).astype(np.int32)
+        q = emb[:48]
+        dd = ((q[:, None, :] - emb[None]) ** 2).sum(-1)
+        truth = np.argsort(dd, axis=1)[:, :5]
+        cfg = BeamConfig(metric="l2", k=5, complexity=48, beam=4, max_steps=48,
+                         traversal="stored", n_entries=16)
+
+        def rec(graph):
+            gd = GraphData(neighbors=jnp.asarray(graph), entry_ids=jnp.asarray(entries),
+                           emb=jnp.asarray(emb), tokens=jnp.zeros((1, 1), jnp.int32),
+                           lengths=jnp.zeros((1,), jnp.int32),
+                           codes=jnp.zeros((1, 1), jnp.uint8),
+                           codebooks=jnp.zeros((1, 1, 1), jnp.float32), entry_emb=None)
+            labels, _, _, _ = beam_search_batch(jnp.asarray(q), gd, cfg)
+            labels = np.asarray(labels)
+            return np.mean([len(set(a.tolist()) & set(b.tolist())) for a, b in zip(labels, truth)]) / 5
+
+        r_pq, r_exact = rec(g_pq), rec(g_exact)
+        assert r_pq >= r_exact - 0.08, f"pq-pruned {r_pq} vs exact-pruned {r_exact}"
+
+    def test_f16_input(self, rng, monkeypatch):
+        """The 20M+ pipeline feeds f16 host matrices; the PQ prune must accept
+        them (train/encode cast to f32 internally, rows upload as bf16)."""
+        from leann_tpu.ops import graph as G
+
+        emb = rng.standard_normal((1024, 32)).astype(np.float16)
+        monkeypatch.setattr(G, "PRUNE_EBF_MAX_BYTES", 1)
+        g, med = G.build_graph(emb, r=8)
+        assert g.shape == (1024, 8) and 0 <= med < 1024
+        assert ((g >= -1) & (g < 1024)).all()
