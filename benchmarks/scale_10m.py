@@ -79,63 +79,86 @@ def main():
 
     rng = np.random.default_rng(0)
     phases = {}
+    out_dir = args.out_dir or tempfile.mkdtemp(prefix="leann_10m_")
+    os.makedirs(out_dir, exist_ok=True)
+    emb_path = os.path.join(out_dir, "emb_norm.npy")
+    emb_meta = os.path.join(out_dir, "emb_norm.json")
+    tpath = os.path.join(out_dir, "truth.npy")
+    qpath = os.path.join(out_dir, "queries.json")
 
     t0 = time.time()
-    chunks = synth_corpus(args.n_chunks, rng)
+    chunks = synth_corpus(args.n_chunks, rng)  # deterministic: cheap to regen on resume
     phases["corpus_s"] = round(time.time() - t0, 1)
     print(f"[{phases['corpus_s']}s] corpus: {len(chunks)} (rss {rss_gb():.1f} GB)", flush=True)
 
     enc = get_encoder("hash-minilm", max_length=args.max_length)
-    t0 = time.time()
-    if args.emb_dtype == "f16":
-        emb = np.empty((len(chunks), enc.cfg.dim), np.float16)
+    # ---- encode + blockwise in-place normalize, persisted for resume ------
+    # Multi-hour 10M+ runs die to tunnel wedges; every phase output lands in
+    # out_dir so a rerun with the same --out-dir restarts where it stopped
+    # (the graph build itself resumes via build_checkpoint_dir below). The
+    # normalized matrix is reloaded as a read-only memmap either way: page
+    # cache instead of 15-31 GB of anonymous RSS through the build.
+    want = {"n": len(chunks), "dim": enc.cfg.dim, "dtype": args.emb_dtype,
+            "max_length": args.max_length}
+    resume = os.path.exists(emb_path) and os.path.exists(emb_meta) \
+        and json.load(open(emb_meta)) == want
+    if resume:
+        print(f"resuming: normalized embeddings from {emb_path}", flush=True)
+        phases["encode_s"] = 0.0
+    else:
+        t0 = time.time()
+        dt = np.float16 if args.emb_dtype == "f16" else np.float32
+        emb = np.empty((len(chunks), enc.cfg.dim), dt)
         step = 1 << 20
         for st in range(0, len(chunks), step):
             emb[st : st + step] = enc.encode(
                 chunks[st : st + step], batch_size=4096
-            ).astype(np.float16)
+            ).astype(dt)
             print(f"  encoded {min(st + step, len(chunks))}/{len(chunks)}", flush=True)
-    else:
-        emb = enc.encode(chunks, batch_size=4096)
-    phases["encode_s"] = round(time.time() - t0, 1)
-    print(f"[{phases['encode_s']}s] encoded {emb.shape} {emb.dtype} (rss {rss_gb():.1f} GB)", flush=True)
-
-    # ---- oracle FIRST, on in-place-normalized embeddings ------------------
-    # (the builder's cosine path also normalizes in place, so no extra [N, D]
-    # copy ever exists; the un-blocked ordering peaked >130 GB host RSS)
+        blk = 1 << 20  # blockwise in-place normalize: no full-size temporaries
+        for st in range(0, len(chunks), blk):
+            b32 = emb[st : st + blk].astype(np.float32)
+            nb = np.linalg.norm(b32, axis=1, keepdims=True)
+            emb[st : st + blk] = (b32 / np.maximum(nb, 1e-12)).astype(emb.dtype)
+        np.save(emb_path, emb)
+        json.dump(want, open(emb_meta, "w"))
+        del emb
+        phases["encode_s"] = round(time.time() - t0, 1)
+    emb = np.load(emb_path, mmap_mode="r")
     n_total, dim = emb.shape
     flat_bytes = n_total * dim * 4
+    print(f"[{phases['encode_s']}s] encoded {emb.shape} {emb.dtype} (rss {rss_gb():.1f} GB)", flush=True)
+
+    # ---- exact oracle (cached) ---------------------------------------------
     q_idx = rng.choice(len(chunks), args.n_queries, replace=False)
     queries = [" ".join(chunks[i].split()[:12]) for i in q_idx]
-    t0 = time.time()
-    blk = 1 << 20  # blockwise in-place normalize: no full-size temporaries
-    for st in range(0, n_total, blk):
-        b32 = emb[st : st + blk].astype(np.float32)
-        nb = np.linalg.norm(b32, axis=1, keepdims=True)
-        emb[st : st + blk] = (b32 / np.maximum(nb, 1e-12)).astype(emb.dtype)
-    qv = enc.encode(queries)
-    qv /= np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
-    truth = host_oracle(emb, qv, 3)
-    phases["oracle_s"] = round(time.time() - t0, 1)
+    if os.path.exists(tpath) and os.path.exists(qpath) and json.load(open(qpath)) == queries:
+        truth = np.load(tpath)
+        phases["oracle_s"] = 0.0
+        print("resuming: oracle truth from cache", flush=True)
+    else:
+        t0 = time.time()
+        qv = enc.encode(queries)
+        qv /= np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
+        truth = host_oracle(emb, qv, 3)
+        phases["oracle_s"] = round(time.time() - t0, 1)
+        np.save(tpath, truth)
+        json.dump(queries, open(qpath, "w"))
     print(f"[{phases['oracle_s']}s] oracle done (rss {rss_gb():.1f} GB)", flush=True)
 
-    out_dir = args.out_dir or tempfile.mkdtemp(prefix="leann_10m_")
-    os.makedirs(out_dir, exist_ok=True)
-    # persist the oracle so later sweeps never pay the 10M re-encode
-    np.save(os.path.join(out_dir, "truth.npy"), truth)
-    json.dump(queries, open(os.path.join(out_dir, "queries.json"), "w"))
     prefix = os.path.join(out_dir, "big10m.leann")
     b = LeannBuilder(
         backend_name="diskann", embedding_model="hash-minilm",
         max_length=args.max_length, distance_metric="cosine",
         graph_degree=args.graph_degree,
+        build_checkpoint_dir=os.path.join(out_dir, "ckpt"),
     )
     t0 = time.time()
     b.build_index_from_embeddings(prefix, [str(i) for i in range(len(chunks))], emb,
                                   texts=chunks)
     phases["build_s"] = round(time.time() - t0, 1)
     print(f"[{phases['build_s']}s] index built (rss {rss_gb():.1f} GB)", flush=True)
-    del emb, chunks  # free ~18 GB before the searcher loads the index
+    del emb, chunks  # free before the searcher loads the index
 
     # all-in accounting (everything needed to search; text excluded)
     idx_bytes = sum(

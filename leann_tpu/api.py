@@ -429,8 +429,18 @@ class LeannBuilder:
         else:
             np.savez_compressed(f"{prefix}.tokens.npz", tokens=tok, lengths=lengths)
 
+    @staticmethod
+    def _is_unit_norm(embeddings: np.ndarray, tol: float = 3e-3) -> bool:
+        """Sampled already-normalized check: a resumed scale run feeds a
+        read-only memmap of embeddings that were normalized before persisting
+        — re-normalizing would force a full in-RAM copy (15-46 GB at 10M-60M)
+        for a no-op. Tolerance covers f16 storage rounding (~5e-4)."""
+        step = max(1, embeddings.shape[0] // 1024)
+        sn = np.linalg.norm(np.asarray(embeddings[::step], dtype=np.float32), axis=1)
+        return bool(np.abs(sn - 1.0).max() <= tol)
+
     def _backend_build(self, embeddings: np.ndarray, ids: List[str], prefix: str) -> None:
-        if self.distance_metric == "cosine":
+        if self.distance_metric == "cosine" and not self._is_unit_norm(embeddings):
             # in place: a second [N, D] f32 copy is ~15 GB at 10M rows (and
             # the caller of build_index_from_embeddings is documented to
             # expect possible in-place normalization). Read-only inputs

@@ -65,6 +65,7 @@ class DiskannBuilder(LeannBackendBuilderInterface):
         num_partitions: int = 0,  # 0 = auto (device count), parity: LDG gp
         partition_passes: int = 10,  # reference gp_times=10
         build_sharded: bool = False,  # mesh-sharded build (parallel/sharded_build.py)
+        build_checkpoint_dir: str = "",  # resume multi-hour builds phase-by-phase
         **kwargs,
     ):
         self.distance_metric = distance_metric
@@ -77,6 +78,7 @@ class DiskannBuilder(LeannBackendBuilderInterface):
         self.num_partitions = num_partitions
         self.partition_passes = partition_passes
         self.build_sharded = build_sharded
+        self.build_checkpoint_dir = build_checkpoint_dir
 
     def build(self, data: np.ndarray, ids: list, index_path: str, **kwargs) -> None:
         # f16 input is preserved (halves the host high-water at 10M+ rows);
@@ -97,7 +99,10 @@ class DiskannBuilder(LeannBackendBuilderInterface):
                 graph_data, graph_mesh(), r=r, candidate_factor=cand_factor, alpha=self.alpha
             )
         else:
-            neighbors, medoid = build_graph(graph_data, r=r, candidate_factor=cand_factor, alpha=self.alpha)
+            neighbors, medoid = build_graph(
+                graph_data, r=r, candidate_factor=cand_factor, alpha=self.alpha,
+                checkpoint_dir=self.build_checkpoint_dir,
+            )
         n_parts = self.num_partitions
         if n_parts <= 0:
             import jax

@@ -93,6 +93,7 @@ class HnswBuilder(LeannBackendBuilderInterface):
         pq_subspaces: int = 0,  # 0 = auto (~D/8)
         pq_rotate: bool = True,  # OPQ rotation (ops/pq.py train_opq)
         build_sharded: bool = False,  # mesh-sharded build (parallel/sharded_build.py)
+        build_checkpoint_dir: str = "",  # resume multi-hour builds phase-by-phase
         **kwargs,
     ):
         self.distance_metric = distance_metric
@@ -104,6 +105,7 @@ class HnswBuilder(LeannBackendBuilderInterface):
         self.pq_subspaces = pq_subspaces
         self.pq_rotate = pq_rotate
         self.build_sharded = build_sharded
+        self.build_checkpoint_dir = build_checkpoint_dir
 
     def build(self, data: np.ndarray, ids: list, index_path: str, **kwargs) -> None:
         # f16 input is preserved (halves the host high-water at 10M+ rows);
@@ -123,7 +125,10 @@ class HnswBuilder(LeannBackendBuilderInterface):
                 graph_data, graph_mesh(), r=self.m, candidate_factor=cand_factor, alpha=self.alpha
             )
         else:
-            neighbors, medoid = build_graph(graph_data, r=self.m, candidate_factor=cand_factor, alpha=self.alpha)
+            neighbors, medoid = build_graph(
+                graph_data, r=self.m, candidate_factor=cand_factor, alpha=self.alpha,
+                checkpoint_dir=self.build_checkpoint_dir,
+            )
         payload: Dict[str, Any] = {
             "neighbors": neighbors,
             "medoid": np.int32(medoid),
