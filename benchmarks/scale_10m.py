@@ -191,6 +191,27 @@ def main():
         hits = sum(len(set(l) & set(t.tolist())) for l, t in zip(lbls, tr))
         return hits / (3 * len(lbls))
 
+    # tie-aware recall: at 10M+ the synthetic corpus has near-duplicate
+    # sibling chunks and 12-word prefix queries no longer discriminate among
+    # them — the oracle's id set is arbitrary within similarity ties, so plain
+    # id-recall under-reports the index (measured 0.66 at 10M while full-chunk
+    # self-retrieval was 16/16). Standard ANN fix: a returned id is a hit when
+    # its exact similarity reaches the oracle's 3rd-best, within eps.
+    def tie_recall(lbls, tr, eps=1e-3):
+        emb_n = np.load(emb_path, mmap_mode="r")
+        enc_q = get_encoder("hash-minilm", max_length=args.max_length)
+        qv2 = enc_q.encode([queries[i] for i in range(len(lbls))])
+        qv2 /= np.maximum(np.linalg.norm(qv2, axis=1, keepdims=True), 1e-12)
+        hits = total = 0
+        for qi, row in enumerate(lbls):
+            ids = np.asarray([int(x) for x in row])
+            floor = float(np.min(
+                np.asarray(emb_n[np.sort(tr[qi])], np.float32) @ qv2[qi]))
+            sims = np.asarray(emb_n[ids], np.float32) @ qv2[qi]
+            hits += int((sims >= floor - eps).sum())
+            total += len(row)
+        return hits / max(total, 1)
+
     print(json.dumps({
         "n_chunks": n_total,
         **phases,
@@ -198,6 +219,7 @@ def main():
         "batched_ms_per_query": round(batched, 2),
         "recall_at_3": round(recall(labels, truth[:32]), 4),
         "batched_recall_at_3": round(recall(labels_b, truth), 4),
+        "tie_aware_recall_at_3": round(tie_recall(labels_b, truth), 4),
         "index_bytes": idx_bytes,
         "flat_baseline_bytes": flat_bytes,
         "storage_savings_vs_flat": round(1 - idx_bytes / flat_bytes, 4),

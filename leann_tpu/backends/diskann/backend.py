@@ -108,20 +108,26 @@ class DiskannBuilder(LeannBackendBuilderInterface):
             import jax
 
             n_parts = max(1, len(jax.devices()))
-        assign = ldg_partition(neighbors, n_parts, passes=self.partition_passes)
-        # relayout (parity with the reference's index_relayout C++ step,
-        # graph_partition.py:207-226): relabel nodes so each LDG partition is
-        # contiguous — device block-shards then coincide with partitions and
-        # frontier expansion mostly hits local HBM
-        order = np.argsort(assign, kind="stable").astype(np.int64)
-        new_of_old = np.empty(n, np.int64)
-        new_of_old[order] = np.arange(n)
-        neighbors = np.where(neighbors >= 0, new_of_old[np.clip(neighbors, 0, n - 1)], -1)[order].astype(np.int32)
-        data = data[order]
-        ids = [ids[i] for i in order]
-        medoid = int(new_of_old[medoid])
-        assign = assign[order]
-        self._permute_tokens(index_path, order)
+        if n_parts > 1:
+            assign = ldg_partition(neighbors, n_parts, passes=self.partition_passes)
+            # relayout (parity with the reference's index_relayout C++ step,
+            # graph_partition.py:207-226): relabel nodes so each LDG partition
+            # is contiguous — device block-shards then coincide with partitions
+            # and frontier expansion mostly hits local HBM
+            order = np.argsort(assign, kind="stable").astype(np.int64)
+            new_of_old = np.empty(n, np.int64)
+            new_of_old[order] = np.arange(n)
+            neighbors = np.where(neighbors >= 0, new_of_old[np.clip(neighbors, 0, n - 1)], -1)[order].astype(np.int32)
+            data = data[order]
+            ids = [ids[i] for i in order]
+            medoid = int(new_of_old[medoid])
+            assign = assign[order]
+            self._permute_tokens(index_path, order)
+        else:
+            # single partition: the relayout is the identity — skip the full
+            # fancy-index copy of the matrix (15 GB at 20M rows; `data` may be
+            # a read-only memmap on resumed scale runs) and the token rewrite
+            assign = np.zeros(n, np.int32)
 
         m = choose_m(d, self.pq_subspaces)
         rotation = None
