@@ -110,6 +110,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="recompute embeddings at query time")
     b.add_argument("--max-length", type=int, default=256, help="token cap per chunk")
     b.add_argument("--num-threads", type=int, default=0)
+    b.add_argument("--build-checkpoint-dir", default="",
+                   help="persist build phases (KNN, prune) here and resume a "
+                        "killed multi-hour build at the last finished phase")
 
     s = sub.add_parser("search", help="search an index")
     s.add_argument("index_name")
@@ -186,6 +189,7 @@ def cmd_build(args) -> int:
         is_compact=args.compact,
         is_recompute=args.recompute,
         max_length=args.max_length,
+        build_checkpoint_dir=args.build_checkpoint_dir,
         **bk,
     )
     for c in chunks:
