@@ -66,6 +66,25 @@ EXACT_KNN_MAX_N = 4 << 20
 # headroom for per-dispatch buffers + XLA workspace on a 16 GB chip.
 PRUNE_EBF_MAX_BYTES = int(os.environ.get("LEANN_PRUNE_EBF_MAX_BYTES", str(10 << 30)))
 
+# Per-array threshold above which spill-KNN scratch (the expanded [n*probe, k]
+# candidate ids/dists) spills to disk-backed memmaps instead of anonymous RAM:
+# at 60M x 2 probes x k=48 those are ~23 GB EACH, which together with the f16
+# corpus matrix (46 GB) would overrun a 125 GB host. The merge pass is already
+# blockwise, so page cache absorbs the access pattern.
+SPILL_MEMMAP_BYTES = int(os.environ.get("LEANN_SPILL_MEMMAP_BYTES", str(8 << 30)))
+
+
+def _big_empty(shape, dtype, scratch_dir: str, name: str):
+    """np.empty, or a disk-backed w+ memmap when the array is huge and a
+    scratch dir is available (see SPILL_MEMMAP_BYTES)."""
+    nbytes = int(np.prod(shape)) * np.dtype(dtype).itemsize
+    if scratch_dir and nbytes > SPILL_MEMMAP_BYTES:
+        os.makedirs(scratch_dir, exist_ok=True)
+        path = os.path.join(scratch_dir, name)
+        logger.info("spill scratch -> %s (%.1f GB)", path, nbytes / 2**30)
+        return np.lib.format.open_memmap(path, mode="w+", dtype=dtype, shape=tuple(shape))
+    return np.empty(shape, dtype)
+
 
 def _pad_rows(x: np.ndarray, np_total: int, fill=0) -> np.ndarray:
     if x.shape[0] == np_total:
@@ -381,7 +400,8 @@ def cluster_window_init(
 
 def _merge_spill_lists(ids: np.ndarray, dists: np.ndarray, exp_orig: np.ndarray,
                        n: int, n_probe: int, k: int,
-                       row_block: int = 1 << 20) -> Tuple[np.ndarray, np.ndarray]:
+                       row_block: int = 1 << 20,
+                       scratch_dir: str = "") -> Tuple[np.ndarray, np.ndarray]:
     """Merge each node's ``n_probe`` window-KNN candidate lists -> top-k
     dedup'd. ids/dists are [n*n_probe, k] in expanded-row order; exp_orig maps
     expanded rows to original node ids.
@@ -392,8 +412,8 @@ def _merge_spill_lists(ids: np.ndarray, dists: np.ndarray, exp_orig: np.ndarray,
     transient at a few GB regardless of n."""
     inf = np.float32(3.4e38)
     pos_by_node = np.argsort(exp_orig, kind="stable").reshape(n, n_probe)
-    out_ids = np.empty((n, k), np.int32)
-    out_d = np.empty((n, k), np.float32)
+    out_ids = _big_empty((n, k), np.int32, scratch_dir, "spill_out_ids.npy")
+    out_d = _big_empty((n, k), np.float32, scratch_dir, "spill_out_d.npy")
     for s in range(0, n, row_block):
         e = min(s + row_block, n)
         pos = pos_by_node[s:e]
@@ -427,7 +447,7 @@ def _merge_spill_lists(ids: np.ndarray, dists: np.ndarray, exp_orig: np.ndarray,
 def spill_knn_streamed(
     emb: np.ndarray, k: int, window: int = 2048, n_probe: int = 2, seed: int = 0,
     points_per_cluster: int = 64, kmeans_sample: int = 65536, kmeans_iters: int = 8,
-    chunk_rows: int = 1 << 19,
+    chunk_rows: int = 1 << 19, scratch_dir: str = "",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """``cluster_window_init`` for corpora that don't fit on-device: the
     embedding matrix stays in HOST RAM; the device sees one bf16 chunk at a
@@ -470,8 +490,8 @@ def spill_knn_streamed(
 
     # ---- window-KNN, streamed chunk by chunk ------------------------------
     t0 = time.time()
-    ids = np.empty((ne, k), np.int32)
-    dists = np.empty((ne, k), np.float32)
+    ids = _big_empty((ne, k), np.int32, scratch_dir, "spill_exp_ids.npy")
+    dists = _big_empty((ne, k), np.float32, scratch_dir, "spill_exp_d.npy")
     for s in range(0, ne, chunk_rows):
         e = min(s + chunk_rows, ne)
         rows = _pad_rows(np.asarray(emb[exp_orig[s:e]], dtype=jnp.bfloat16), chunk_rows)
@@ -487,7 +507,15 @@ def spill_knn_streamed(
     logger.info("spill_knn window pass: %.1fs (%d chunks)",
                 time.time() - t0, (ne + chunk_rows - 1) // chunk_rows)
 
-    return _merge_spill_lists(ids, dists, exp_orig, n, n_probe, k)
+    out = _merge_spill_lists(ids, dists, exp_orig, n, n_probe, k, scratch_dir=scratch_dir)
+    if isinstance(ids, np.memmap):  # scratch expanded lists are dead post-merge
+        for f in ("spill_exp_ids.npy", "spill_exp_d.npy"):
+            try:
+                os.remove(os.path.join(scratch_dir, f))
+            except OSError:
+                pass
+        del ids, dists
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1015,7 +1043,7 @@ def build_graph(
         # host-resident corpus through fixed-shape chunk dispatches (measured
         # init recall@10 ~0.90 on clustered data vs 0.61 single-probe; NN-
         # descent at 2.1M was 60% unconverged after 2200 s)
-        knn_ids, _ = spill_knn_streamed(emb, c)
+        knn_ids, _ = spill_knn_streamed(emb, c, scratch_dir=checkpoint_dir)
     else:
         knn_ids, _ = exact_knn(emb, c, query_block=query_block)
     if knn_path:

@@ -120,6 +120,25 @@ class TestSpillKnnStreamed:
             dd = d_s[i][ids_s[i] >= 0]
             assert (np.diff(dd) >= -1e-3).all()
 
+    def test_scratch_memmap_matches_in_ram(self, rng, monkeypatch, tmp_path):
+        """Disk-backed spill scratch (the 60M host-RAM path) must be
+        bit-identical to the in-RAM arrays, and the expanded scratch files
+        must be cleaned up after the merge."""
+        import os
+
+        from leann_tpu.ops import graph as G
+
+        emb = self._clustered(rng, n=4000)
+        ids_m, d_m = G.spill_knn_streamed(emb, 8, window=1024, n_probe=2, chunk_rows=4096)
+        monkeypatch.setattr(G, "SPILL_MEMMAP_BYTES", 1)
+        ids_f, d_f = G.spill_knn_streamed(emb, 8, window=1024, n_probe=2, chunk_rows=4096,
+                                          scratch_dir=str(tmp_path))
+        np.testing.assert_array_equal(np.asarray(ids_f), ids_m)
+        np.testing.assert_array_equal(np.asarray(d_f), d_m)
+        assert isinstance(ids_f, np.memmap)
+        left = sorted(os.listdir(tmp_path))
+        assert left == ["spill_out_d.npy", "spill_out_ids.npy"], left
+
     def test_build_graph_large_path(self, rng, monkeypatch):
         """Forcing the >EXACT_KNN_MAX_N branch must produce a graph whose
         search recall matches the exact-built one (bf16 residency + streamed
