@@ -838,15 +838,15 @@ def _robust_prune_pq_device(
     c = cand.shape[1]
     cbf = codebooks.astype(jnp.bfloat16)  # tables live in VMEM per gather
 
+    from .pq import decode_pq
+
     def blk(carry, bi):
         cid = jax.lax.dynamic_slice(cand, (bi * block, 0), (block, c))
         p = jax.lax.dynamic_slice(pe, (bi * block, 0), (block, d))
         pn = jnp.sum(jnp.square(p.astype(jnp.float32)), axis=1)
         safe = jnp.clip(cid, 0, np_total - 1)
-        ccodes = codes[safe].astype(jnp.int32)  # [B, C, M]
-        # decode: per-subspace [256, ds] table gather -> [B, C, M, ds]
-        dec = jax.vmap(lambda tbl, ix: tbl[ix], in_axes=(0, 2), out_axes=2)(cbf, ccodes)
-        cemb = dec.reshape(block, c, d)  # bf16 [B, C, D]
+        ccodes = codes[safe]  # [B, C, M]
+        cemb = decode_pq(cbf, ccodes)  # bf16 [B, C, D] via per-subspace gathers
         cn = jnp.sum(jnp.square(cemb.astype(jnp.float32)), axis=2)
         dots = jnp.einsum("bd,bcd->bc", p, cemb, preferred_element_type=jnp.float32)
         d_pc = jnp.where(cid >= 0, pn[:, None] + cn - 2.0 * dots, INF)

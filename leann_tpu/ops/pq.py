@@ -227,6 +227,20 @@ def encode_pq_blocked(x: np.ndarray, codebooks: np.ndarray, block: int = 16384) 
     return out
 
 
+def decode_pq(codebooks: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:
+    """Reconstruct vectors from plain-PQ codes on device.
+
+    codebooks [M, K, ds], codes int [..., M] -> [..., M*ds] in codebooks'
+    dtype. Per-subspace table gathers (tables are VMEM-small); subspace m
+    fills dims m*ds:(m+1)*ds, matching :func:`encode_pq`'s layout. Used by
+    the beyond-HBM α-prune (ops/graph.py `_robust_prune_pq_device`), where
+    candidate embeddings exist only as codes."""
+    dec = jax.vmap(lambda tbl, ix: tbl[ix], in_axes=(0, -1), out_axes=-2)(
+        codebooks, codes.astype(jnp.int32)
+    )
+    return dec.reshape(*codes.shape[:-1], -1)
+
+
 def adc_lut(q: jnp.ndarray, codebooks: jnp.ndarray, metric: str) -> jnp.ndarray:
     """Per-query ADC table: q [D] -> lut f32[M, K] such that
     dist(q, x) ≈ sum_m lut[m, code[x, m]] (lower = closer). Codebooks may be

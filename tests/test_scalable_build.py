@@ -223,6 +223,34 @@ class TestPQPrune:
         r_pq, r_exact = rec(g_pq), rec(g_exact)
         assert r_pq >= r_exact - 0.08, f"pq-pruned {r_pq} vs exact-pruned {r_exact}"
 
+    def test_decode_pq_fidelity(self, rng):
+        """decode_pq must invert encode_pq to per-subspace nearest centroids
+        (exact lookup parity vs a host reconstruction) and reconstruct with
+        low MSE on clusterable data."""
+        import jax.numpy as jnp
+
+        from leann_tpu.ops.pq import decode_pq, encode_pq, train_pq
+
+        centers = rng.standard_normal((8, 32)).astype(np.float32) * 2
+        x = (centers[rng.integers(0, 8, 2048)]
+             + rng.standard_normal((2048, 32)).astype(np.float32) * 0.3)
+        cb = train_pq(x, m=4, n_iters=8)  # [4, 256, 8]
+        codes = np.asarray(encode_pq(jnp.asarray(x), jnp.asarray(cb)))
+        dec = np.asarray(decode_pq(jnp.asarray(cb), jnp.asarray(codes)))
+        # exact parity with host per-subspace centroid lookup
+        host = np.concatenate(
+            [cb[m][codes[:, m]] for m in range(4)], axis=1
+        )
+        np.testing.assert_allclose(dec, host, rtol=0, atol=0)
+        # reconstruction is close on clustered data
+        mse = float(np.mean(np.sum((dec - x) ** 2, axis=1)))
+        ref = float(np.mean(np.sum(x ** 2, axis=1)))
+        assert mse < 0.25 * ref, f"pq mse {mse} vs energy {ref}"
+        # batched-rank decode (the kernel's [B, C, M] shape)
+        codes3 = codes[:128].reshape(16, 8, 4)
+        dec3 = np.asarray(decode_pq(jnp.asarray(cb), jnp.asarray(codes3)))
+        np.testing.assert_allclose(dec3.reshape(128, 32), host[:128], rtol=0, atol=0)
+
     def test_f16_input(self, rng, monkeypatch):
         """The 20M+ pipeline feeds f16 host matrices; the PQ prune must accept
         them (train/encode cast to f32 internally, rows upload as bf16)."""
