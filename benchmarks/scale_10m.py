@@ -60,6 +60,15 @@ def rss_gb() -> float:
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20
 
 
+def jload(path):
+    """json.load that treats a truncated sidecar from a killed run as absent
+    (resume must never crash on its own half-written artifacts)."""
+    try:
+        return json.load(open(path))
+    except Exception:
+        return None
+
+
 def main():
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
     ap = argparse.ArgumentParser()
@@ -100,8 +109,7 @@ def main():
     # cache instead of 15-31 GB of anonymous RSS through the build.
     want = {"n": len(chunks), "dim": enc.cfg.dim, "dtype": args.emb_dtype,
             "max_length": args.max_length}
-    resume = os.path.exists(emb_path) and os.path.exists(emb_meta) \
-        and json.load(open(emb_meta)) == want
+    resume = os.path.exists(emb_path) and jload(emb_meta) == want
     if resume:
         print(f"resuming: normalized embeddings from {emb_path}", flush=True)
         phases["encode_s"] = 0.0
@@ -129,10 +137,12 @@ def main():
     flat_bytes = n_total * dim * 4
     print(f"[{phases['encode_s']}s] encoded {emb.shape} {emb.dtype} (rss {rss_gb():.1f} GB)", flush=True)
 
-    # ---- exact oracle (cached) ---------------------------------------------
+    # ---- exact oracle (cached; keyed on the embedding meta too — truth from
+    # an f32 run must not survive into an f16 rerun of the same out-dir) -----
     q_idx = rng.choice(len(chunks), args.n_queries, replace=False)
     queries = [" ".join(chunks[i].split()[:12]) for i in q_idx]
-    if os.path.exists(tpath) and os.path.exists(qpath) and json.load(open(qpath)) == queries:
+    tmeta = os.path.join(out_dir, "truth_meta.json")
+    if os.path.exists(tpath) and jload(qpath) == queries and jload(tmeta) == want:
         truth = np.load(tpath)
         phases["oracle_s"] = 0.0
         print("resuming: oracle truth from cache", flush=True)
@@ -144,6 +154,7 @@ def main():
         phases["oracle_s"] = round(time.time() - t0, 1)
         np.save(tpath, truth)
         json.dump(queries, open(qpath, "w"))
+        json.dump(want, open(tmeta, "w"))
     print(f"[{phases['oracle_s']}s] oracle done (rss {rss_gb():.1f} GB)", flush=True)
 
     prefix = os.path.join(out_dir, "big10m.leann")
@@ -205,10 +216,12 @@ def main():
         hits = total = 0
         for qi, row in enumerate(lbls):
             ids = np.asarray([int(x) for x in row])
+            ids = ids[ids >= 0]  # padded/invalid labels count as misses
             floor = float(np.min(
                 np.asarray(emb_n[np.sort(tr[qi])], np.float32) @ qv2[qi]))
-            sims = np.asarray(emb_n[ids], np.float32) @ qv2[qi]
-            hits += int((sims >= floor - eps).sum())
+            if len(ids):
+                sims = np.asarray(emb_n[ids], np.float32) @ qv2[qi]
+                hits += int((sims >= floor - eps).sum())
             total += len(row)
         return hits / max(total, 1)
 

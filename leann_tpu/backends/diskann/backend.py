@@ -95,6 +95,9 @@ class DiskannBuilder(LeannBackendBuilderInterface):
             from ...parallel.mesh import graph_mesh
             from ...parallel.sharded_build import sharded_build_graph
 
+            if self.build_checkpoint_dir:
+                logger.warning("build_checkpoint_dir is not supported by the "
+                               "mesh-sharded build; phases will not checkpoint")
             neighbors, medoid = sharded_build_graph(
                 graph_data, graph_mesh(), r=r, candidate_factor=cand_factor, alpha=self.alpha
             )

@@ -121,6 +121,9 @@ class HnswBuilder(LeannBackendBuilderInterface):
             from ...parallel.mesh import graph_mesh
             from ...parallel.sharded_build import sharded_build_graph
 
+            if self.build_checkpoint_dir:
+                logger.warning("build_checkpoint_dir is not supported by the "
+                               "mesh-sharded build; phases will not checkpoint")
             neighbors, medoid = sharded_build_graph(
                 graph_data, graph_mesh(), r=self.m, candidate_factor=cand_factor, alpha=self.alpha
             )

@@ -74,6 +74,21 @@ PRUNE_EBF_MAX_BYTES = int(os.environ.get("LEANN_PRUNE_EBF_MAX_BYTES", str(10 << 
 SPILL_MEMMAP_BYTES = int(os.environ.get("LEANN_SPILL_MEMMAP_BYTES", str(8 << 30)))
 
 
+def _prune_pq_m(d: int) -> int:
+    """Divisor of ``d`` giving a subspace width in [3, 16], closest to 6;
+    0 when none exists (caller zero-pads columns). choose_m (ops/pq.py) only
+    probes d/8, d/4, d/16, d/2 and returns 1 for dims like 385 — fatal for
+    the prune, where one global 256-point codebook occludes everything."""
+    best, best_gap = 0, 99
+    for m in range(1, d + 1):
+        if d % m:
+            continue
+        ds = d // m
+        if 3 <= ds <= 16 and abs(ds - 6) < best_gap:
+            best, best_gap = m, abs(ds - 6)
+    return best
+
+
 def _big_empty(shape, dtype, scratch_dir: str, name: str):
     """np.empty, or a disk-backed w+ memmap when the array is huge and a
     scratch dir is available (see SPILL_MEMMAP_BYTES)."""
@@ -960,18 +975,24 @@ def compute_medoid(emb: np.ndarray) -> int:
 
 def _ckpt_key(emb: np.ndarray, extra: str) -> str:
     """Cheap content key for build checkpoints: shape/dtype + a blake2b of a
-    ~4K-row stride sample (hashing the full 15 GB matrix at 20M would cost
-    more than the phase it guards on a 1-core host)."""
+    ~4K-row stride sample plus head/tail blocks (hashing the full 15 GB
+    matrix at 20M would cost more than the phase it guards on a 1-core
+    host). NOT a full content hash: a corpus edited only in rows off the
+    stride matches the old key — pass a fresh checkpoint_dir after partial
+    re-embeddings."""
     import hashlib
 
     step = max(1, emb.shape[0] // 4096)
-    h = hashlib.blake2b(np.ascontiguousarray(emb[::step]).tobytes(), digest_size=8).hexdigest()
-    return f"{emb.shape[0]}x{emb.shape[1]}_{emb.dtype}_{h}_{extra}"
+    h = hashlib.blake2b(digest_size=8)
+    for part in (emb[::step], emb[:256], emb[-256:]):
+        h.update(np.ascontiguousarray(part).tobytes())
+    return f"{emb.shape[0]}x{emb.shape[1]}_{emb.dtype}_{h.hexdigest()}_{extra}"
 
 
 def _ckpt_load(path: str, key: str):
-    """-> array | None. The key rides in a sidecar .json; a stale or foreign
-    artifact (different corpus / params) is ignored, never trusted."""
+    """-> read-only memmap | None. The key rides in a sidecar .json; a stale
+    or foreign artifact (different corpus / params) is ignored, never
+    trusted. mmap: a resumed 60M KNN array is ~15 GB — page cache, not RSS."""
     import json
     import os as _os
 
@@ -980,19 +1001,39 @@ def _ckpt_load(path: str, key: str):
     try:
         if json.load(open(path + ".json"))["key"] != key:
             return None
-        return np.load(path)
+        return np.load(path, mmap_mode="r")
     except Exception as e:  # corrupt partial write from a killed run
         logger.warning("ignoring unreadable checkpoint %s: %s", path, e)
         return None
 
 
 def _ckpt_save(path: str, key: str, arr: np.ndarray) -> None:
+    """Crash-ordering: the old key sidecar is removed FIRST, the new one is
+    written LAST (both atomically) — a kill at any point leaves either no
+    sidecar (artifact ignored) or a fully consistent pair, never an old key
+    naming a new array. A memmap already living in the checkpoint dir (spill
+    scratch output) is renamed into place instead of being copied (15 GB of
+    avoided IO at 60M; the open mapping survives the rename)."""
     import json
 
-    tmp = path + ".tmp.npy"
-    np.save(tmp, arr)
-    os.replace(tmp, path)
-    json.dump({"key": key}, open(path + ".json", "w"))
+    try:
+        os.remove(path + ".json")
+    except OSError:
+        pass
+    fname = getattr(arr, "filename", None)
+    if isinstance(arr, np.memmap) and fname and \
+            os.path.dirname(os.path.abspath(fname)) == os.path.dirname(os.path.abspath(path)):
+        arr.flush()
+        if os.path.abspath(fname) != os.path.abspath(path):
+            os.replace(fname, path)
+    else:
+        tmp = path + ".tmp.npy"
+        np.save(tmp, arr)
+        os.replace(tmp, path)
+    tmpj = path + ".json.tmp"
+    with open(tmpj, "w") as f:
+        json.dump({"key": key}, f)
+    os.replace(tmpj, path + ".json")
 
 
 def build_graph(
@@ -1036,7 +1077,8 @@ def build_graph(
 
     t0 = time.time()
     knn_ids = _ckpt_load(knn_path, key) if knn_path else None
-    if knn_ids is not None:
+    knn_resumed = knn_ids is not None
+    if knn_resumed:
         logger.info("build_graph: resumed knn candidates from %s", knn_path)
     elif n > EXACT_KNN_MAX_N:
         # O(N²) exact stops scaling here. The spill window pass streams the
@@ -1046,8 +1088,13 @@ def build_graph(
         knn_ids, _ = spill_knn_streamed(emb, c, scratch_dir=checkpoint_dir)
     else:
         knn_ids, _ = exact_knn(emb, c, query_block=query_block)
-    if knn_path:
-        _ckpt_save(knn_path, key, knn_ids)
+    if knn_path and not knn_resumed:
+        _ckpt_save(knn_path, key, knn_ids)  # renames a scratch memmap in place
+        for f in ("spill_out_ids.npy", "spill_out_d.npy"):  # dead post-save
+            try:
+                os.remove(os.path.join(checkpoint_dir, f))
+            except OSError:
+                pass
     logger.info("build_graph knn phase: %.1fs (host rss %.1f GB)", time.time() - t0, _rss_gb())
 
     t0 = time.time()
@@ -1064,19 +1111,38 @@ def build_graph(
     if pq_mode:
         # beyond-HBM prune: corpus lives on device as PQ codes; each
         # dispatch uploads its own exact rows (bf16) and candidate ids
-        from .pq import choose_m, encode_pq_blocked, train_pq
+        from .pq import _bucket_sample, encode_pq, train_pq
 
-        m = choose_m(d_emb, max(1, d_emb // 6))  # ds≈6: decode fidelity over code size
-        cb = train_pq(emb, m=m, n_iters=8)
-        codes_d = jnp.asarray(_pad_rows(encode_pq_blocked(emb, cb, block=1 << 16), np_total))
+        # subspace width near 6 for decode fidelity. Dims with no divisor in
+        # the usable band (e.g. the mips-augmented D+1 = 385 → bands exist;
+        # truly prime dims don't) zero-pad columns instead — padded centroids
+        # train to ~0, so padded dims contribute 0 to every dot product and
+        # the distances are unchanged. choose_m alone silently degenerates to
+        # M=1 (one 256-point codebook for the whole corpus) on such dims.
+        m = _prune_pq_m(d_emb)
+        d_pq = d_emb if m else ((d_emb + 5) // 6) * 6
+        m = m or d_pq // 6
+        samp = np.asarray(_bucket_sample(emb, 65536, np.random.default_rng(0)), np.float32)
+        if d_pq != d_emb:
+            samp = np.pad(samp, ((0, 0), (0, d_pq - d_emb)))
+        cb = train_pq(samp, m=m, n_iters=8, sample=samp.shape[0])
         cb_d = jnp.asarray(cb)
-        logger.info("prune pq trained+encoded: M=%d codes %.2f GB on device (%.1fs)",
-                    cb.shape[0], codes_d.nbytes / 2**30, time.time() - t0)
+        codes_h = np.zeros((np_total, m), np.uint8)
+        enc_blk = 1 << 16
+        for s in range(0, n, enc_blk):
+            rows32 = np.asarray(emb[s : s + enc_blk], np.float32)
+            if d_pq != d_emb:
+                rows32 = np.pad(rows32, ((0, 0), (0, d_pq - d_emb)))
+            codes_h[s : s + enc_blk] = np.asarray(encode_pq(jnp.asarray(rows32), cb_d))
+        codes_d = jnp.asarray(codes_h)
+        del codes_h
+        logger.info("prune pq trained+encoded: M=%d ds=%d codes %.2f GB on device (%.1fs)",
+                    m, d_pq // m, codes_d.nbytes / 2**30, time.time() - t0)
         for s in range(0, np_total, rows_per_dispatch):
             nb = min(rows_per_dispatch, np_total - s) // blk
-            rows = np.zeros((nb * blk, d_emb), dtype=jnp.bfloat16)
+            rows = np.zeros((nb * blk, d_pq), dtype=jnp.bfloat16)
             real = max(0, min(n, s + nb * blk) - s)
-            rows[:real] = emb[s : s + real]
+            rows[:real, :d_emb] = emb[s : s + real]
             sel = _robust_prune_pq_device(
                 codes_d, cb_d, jnp.asarray(rows), jnp.asarray(cand_h[s : s + nb * blk]),
                 r, float(alpha), keep_closest, blk, n_blocks=nb,

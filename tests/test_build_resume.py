@@ -56,6 +56,23 @@ class TestBuildGraphCheckpoint:
         g_r6_fresh, _ = build_graph(corpus, r=6)
         np.testing.assert_array_equal(g_r6, g_r6_fresh)
 
+    def test_spill_scratch_renamed_into_checkpoint(self, corpus, tmp_path, monkeypatch):
+        """When the KNN phase ran with disk-backed spill scratch, the output
+        memmap is renamed into ckpt_knn.npy (no 15 GB copy at 60M) and the
+        dead scratch files are removed."""
+        from leann_tpu.ops import graph as G
+
+        ck = str(tmp_path / "ck")
+        monkeypatch.setattr(G, "EXACT_KNN_MAX_N", 100)   # force the spill path
+        monkeypatch.setattr(G, "SPILL_MEMMAP_BYTES", 1)  # force disk scratch
+        g1, m1 = G.build_graph(corpus, r=8, checkpoint_dir=ck)
+        files = sorted(os.listdir(ck))
+        assert "ckpt_knn.npy" in files and "ckpt_pruned.npy" in files
+        assert not any(f.startswith("spill_") for f in files), files
+        g2, m2 = G.build_graph(corpus, r=8, checkpoint_dir=ck)  # resume
+        assert m1 == m2
+        np.testing.assert_array_equal(g1, g2)
+
     def test_corrupt_checkpoint_ignored(self, corpus, tmp_path):
         from leann_tpu.ops.graph import build_graph
 

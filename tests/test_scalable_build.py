@@ -251,6 +251,30 @@ class TestPQPrune:
         dec3 = np.asarray(decode_pq(jnp.asarray(cb), jnp.asarray(codes3)))
         np.testing.assert_allclose(dec3.reshape(128, 32), host[:128], rtol=0, atol=0)
 
+    def test_nondivisible_dim_pads(self, rng, monkeypatch):
+        """Dims with no usable subspace divisor (e.g. prime, or the mips-
+        augmented D+1) must zero-pad instead of degenerating to one global
+        codebook (choose_m returns 1 for such dims)."""
+        from leann_tpu.ops import graph as G
+
+        assert G._prune_pq_m(384) == 64          # ds=6
+        assert G._prune_pq_m(385) > 1            # mips-augmented: 55 (ds=7)
+        assert 385 % G._prune_pq_m(385) == 0
+        assert G._prune_pq_m(29) == 0            # prime: padding path
+
+        emb = rng.standard_normal((1024, 29)).astype(np.float32)
+        monkeypatch.setattr(G, "PRUNE_EBF_MAX_BYTES", 1)
+        g, med = G.build_graph(emb, r=8)
+        assert g.shape == (1024, 8) and ((g >= -1) & (g < 1024)).all()
+        # graph quality must survive padding: edges point at near neighbors
+        d2 = ((emb[:64, None, :] - emb[None, :, :]) ** 2).sum(-1)
+        true_nn = np.argsort(d2, axis=1)[:, 1:9]
+        overlap = np.mean([
+            len(set(g[i][g[i] >= 0].tolist()) & set(true_nn[i].tolist())) / 8
+            for i in range(64)
+        ])
+        assert overlap >= 0.3, f"padded-dim prune lost the neighborhood: {overlap}"
+
     def test_f16_input(self, rng, monkeypatch):
         """The 20M+ pipeline feeds f16 host matrices; the PQ prune must accept
         them (train/encode cast to f32 internally, rows upload as bf16)."""
