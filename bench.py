@@ -192,6 +192,62 @@ def measure_tier2():
 
 
 # --------------------------------------------------------------------------
+# DPR-scale tier (2.1M cached index — the reference's headline eval corpus)
+# --------------------------------------------------------------------------
+
+def measure_dpr21m():
+    """Recall/latency on the cached 2.1M-chunk R=32 diskann index (the
+    reference's DPR eval scale, configuration-guide.md:92 '95%+ recall').
+    Skipped when the cache is absent (fresh machine) — the index costs ~67
+    min to build (scale_500k.py --n-chunks 2100000 --out-dir ...); queries
+    and oracle reproduce deterministically from the same seed."""
+    if os.environ.get("LEANN_BENCH_DPR", "1") != "1":
+        return {}
+    tier = os.path.join(CACHE_DIR, "dpr21m_r32")
+    prefix = os.path.join(tier, "big.leann")
+    tpath = os.path.join(tier, "truth.npy")
+    if not (os.path.exists(prefix + ".meta.json") and os.path.exists(tpath)):
+        log("dpr21m tier skipped: no cached index")
+        return {}
+    from scale_500k import synth_corpus
+
+    from leann_tpu import LeannSearcher
+
+    n = json.load(open(prefix + ".meta.json"))["num_chunks"]
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    chunks = synth_corpus(n, rng)  # deterministic: same stream as the build
+    q_idx = rng.choice(len(chunks), 64, replace=False)
+    queries = [" ".join(chunks[i].split()[:12]) for i in q_idx]
+    del chunks
+    truth = np.load(tpath)
+    log(f"dpr21m queries regenerated in {time.time()-t0:.0f}s")
+
+    s = LeannSearcher(prefix)
+    # operating point from the r2 sweep: recall@3 0.953 @ p50 57 ms (R=32)
+    kw = dict(top_k=3, complexity=1024, beam_width=16, rerank_size=128, n_entries=256)
+    s.search(queries[0], **kw)  # compile warmup
+    lat = []
+    for q in queries[:16]:
+        t0 = time.time()
+        s.search(q, **kw)
+        lat.append((time.time() - t0) * 1000)
+    s.search(queries, **kw)  # batched warmup
+    t0 = time.time()
+    res_b = s.search(queries, **kw)
+    batched_ms = (time.time() - t0) * 1000 / len(queries)
+    labels_b = [[int(r.id) for r in row] for row in res_b]
+    return {
+        "n_chunks_dpr": n,
+        "recall_at_3_dpr21m": round(recall_against(truth, labels_b), 4),
+        "p50_wall_ms_dpr21m": round(float(np.percentile(lat, 50)), 2),
+        "batched_ms_per_query_dpr21m": round(batched_ms, 2),
+        "index_bytes_dpr21m": index_all_in_bytes(prefix),
+        "flat_baseline_bytes_dpr21m": n * 384 * 4,
+    }
+
+
+# --------------------------------------------------------------------------
 # toy tier (fresh builds, both backends)
 # --------------------------------------------------------------------------
 
@@ -351,6 +407,8 @@ def main():
     out = {}
     log("=== 100K cached tier ===")
     out.update(measure_tier2())
+    log("=== DPR-scale 2.1M cached tier ===")
+    out.update(measure_dpr21m())
     log("=== toy tier (fresh builds) ===")
     out.update(measure_toy())
     log("=== encoder MFU ===")
