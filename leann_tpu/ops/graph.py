@@ -367,10 +367,11 @@ def cluster_window_init(
     rng = np.random.default_rng(seed)
     n_clusters = max(8, min(n // points_per_cluster, 65536))
     # the sample must be able to populate the clusters (>= 8 pts/cluster);
-    # pow2 floor keeps the compiled kmeans shapes bucketed
+    # pow2 floor keeps the compiled kmeans shapes bucketed. f32: see
+    # spill_knn_streamed (f16 inputs must not reach the k-means carry)
     s_target = min(n, max(kmeans_sample, 8 * n_clusters))
     s_count = 1 << (max(s_target, 2).bit_length() - 1)
-    sample = emb[rng.choice(n, min(s_count, n), replace=False)]
+    sample = np.asarray(emb[rng.choice(n, min(s_count, n), replace=False)], np.float32)
     init_c = sample[rng.choice(sample.shape[0], n_clusters, replace=False)]
     km_block = 4096
     s_pad = _bucket_rows(sample.shape[0], km_block)
@@ -477,7 +478,9 @@ def spill_knn_streamed(
     n_clusters = max(8, min(n // points_per_cluster, 65536))
     s_target = min(n, max(kmeans_sample, 8 * n_clusters))
     s_count = 1 << (max(s_target, 2).bit_length() - 1)
-    sample = emb[np.sort(rng.choice(n, min(s_count, n), replace=False))]
+    # f32 sample: f16 host matrices would otherwise carry f16 centroids into
+    # the k-means scan (carry dtype mismatch) and accumulate means in f16
+    sample = np.asarray(emb[np.sort(rng.choice(n, min(s_count, n), replace=False))], np.float32)
     init_c = sample[rng.choice(sample.shape[0], n_clusters, replace=False)]
     km_block = 4096
     s_pad = _bucket_rows(sample.shape[0], km_block)
@@ -1133,7 +1136,7 @@ def build_graph(
             rows32 = np.asarray(emb[s : s + enc_blk], np.float32)
             if d_pq != d_emb:
                 rows32 = np.pad(rows32, ((0, 0), (0, d_pq - d_emb)))
-            codes_h[s : s + enc_blk] = np.asarray(encode_pq(jnp.asarray(rows32), cb_d))
+            codes_h[s : s + rows32.shape[0]] = np.asarray(encode_pq(jnp.asarray(rows32), cb_d))
         codes_d = jnp.asarray(codes_h)
         del codes_h
         logger.info("prune pq trained+encoded: M=%d ds=%d codes %.2f GB on device (%.1fs)",
