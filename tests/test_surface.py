@@ -162,9 +162,11 @@ class TestCLI:
         (docs / "a.txt").write_text("jupiter is the largest planet in the solar system. " * 5)
         (docs / "b.txt").write_text("the stock market fluctuates based on investor sentiment. " * 5)
         r = self._run(["build", "demo", "--docs", str(docs), "--backend", "hnsw",
-                       "--embedding-model", "hash-tiny", "--max-length", "64", "-M", "4"], tmp_path)
+                       "--embedding-model", "hash-tiny", "--max-length", "64", "-M", "4",
+                       "--build-checkpoint-dir", str(tmp_path / "ck")], tmp_path)
         assert r.returncode == 0, r.stderr
         assert (tmp_path / ".leann" / "indexes" / "demo" / "documents.leann.meta.json").exists()
+        assert (tmp_path / "ck" / "ckpt_pruned.npy.json").exists()  # phases checkpointed
 
         r = self._run(["search", "demo", "largest planet", "--top-k", "1",
                        "--complexity", "8", "--beam-width", "2", "--non-interactive"], tmp_path)
