@@ -38,11 +38,19 @@ is a toy-corpus figure while our headline is measured at 100K chunks.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(1, os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+
+if os.environ.get("LEANN_BENCH_PLATFORM") == "cpu":
+    # CPU-fallback re-exec (see probe_tpu): the env var alone is overridden
+    # by this image's sitecustomize, only the pre-init config update works
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
@@ -403,24 +411,49 @@ def measure_hf_checkpoint():
             "hf_checkpoint_path": ckpt}
 
 
+def probe_tpu(timeout_s: int = 240) -> bool:
+    """True when the tunneled TPU answers a devices()+matmul probe within the
+    bound. The remote worker is known to wedge for hours (clients hang in
+    futex wait, no error) — without this bound the driver's bench run would
+    hang forever instead of recording a labeled CPU-fallback number."""
+    code = ("import jax, numpy as np\n"
+            "x = jax.numpy.ones((128, 128))\n"
+            "np.asarray(x @ x)\n")
+    try:
+        return subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                              capture_output=True).returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if os.environ.get("LEANN_BENCH_PLATFORM") != "cpu" and not probe_tpu():
+        log("TPU unreachable (worker wedge) — re-exec on CPU, toy tier only")
+        env = dict(os.environ, LEANN_BENCH_PLATFORM="cpu")
+        os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)], env)
+
+    cpu_mode = os.environ.get("LEANN_BENCH_PLATFORM") == "cpu"
     out = {}
-    log("=== 100K cached tier ===")
-    out.update(measure_tier2())
-    log("=== DPR-scale 2.1M cached tier ===")
-    out.update(measure_dpr21m())
+    if not cpu_mode:
+        log("=== 100K cached tier ===")
+        out.update(measure_tier2())
+        log("=== DPR-scale 2.1M cached tier ===")
+        out.update(measure_dpr21m())
     log("=== toy tier (fresh builds) ===")
     out.update(measure_toy())
-    log("=== encoder MFU ===")
-    out.update(measure_mfu())
-    log("=== HF checkpoint path ===")
-    out.update(measure_hf_checkpoint())
+    if not cpu_mode:
+        log("=== encoder MFU ===")
+        out.update(measure_mfu())
+        log("=== HF checkpoint path ===")
+        out.update(measure_hf_checkpoint())
 
-    headline = out["batched_ms_per_query_100k"]
+    headline = out["toy_batched_ms_per_query"] if cpu_mode else out["batched_ms_per_query_100k"]
     print(json.dumps({
-        "metric": "batched_recompute_search_ms_per_query_100k",
+        "metric": ("batched_recompute_search_ms_per_query_toy_CPU_FALLBACK" if cpu_mode
+                   else "batched_recompute_search_ms_per_query_100k"),
         "value": headline,
         "unit": "ms",
+        "platform": "cpu-fallback (TPU worker unreachable)" if cpu_mode else "tpu-v5e",
         # reference bar is its published toy-corpus recompute latency (5 s,
         # low end); our headline is measured at 100K chunks, so >1 here is a
         # conservative statement of the speedup
