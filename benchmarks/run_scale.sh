@@ -1,0 +1,42 @@
+#!/bin/bash
+# Supervised 10M+ scale run: relaunch on crash OR log-stall (the tunneled TPU
+# worker is known to wedge mid-build — clients hang in futex wait with no
+# error). Every phase checkpoints (scale_10m.py --out-dir + the builder's
+# build_checkpoint_dir), so a relaunch resumes at the last finished phase
+# instead of hour zero. Kills only the exact child pid, never by pattern.
+#
+# Usage: N=20000000 OUT=~/.cache/leann_tpu_bench/s20m LOG=/tmp/s20m.log \
+#        bash benchmarks/run_scale.sh [extra scale_10m.py args...]
+set -u
+N=${N:-20000000}
+OUT=${OUT:-$HOME/.cache/leann_tpu_bench/s20m}
+LOG=${LOG:-/tmp/s20m.log}
+STALL_S=${STALL_S:-2400}      # no log growth for 40 min = wedged dispatch
+ATTEMPTS=${ATTEMPTS:-6}
+cd "$(dirname "$0")/.."
+
+for attempt in $(seq 1 "$ATTEMPTS"); do
+  echo "=== attempt $attempt $(date -u +%FT%TZ) ===" >> "$LOG"
+  python -u benchmarks/scale_10m.py --n-chunks "$N" --emb-dtype f16 \
+    --out-dir "$OUT" --graph-degree 24 --complexity 1024 "$@" >> "$LOG" 2>&1 &
+  pid=$!
+  while kill -0 "$pid" 2>/dev/null; do
+    sleep 120
+    age=$(( $(date +%s) - $(stat -c %Y "$LOG") ))
+    if [ "$age" -gt "$STALL_S" ]; then
+      echo "=== watchdog: log quiet ${age}s, killing $pid ===" >> "$LOG"
+      kill -9 "$pid" 2>/dev/null
+      break
+    fi
+  done
+  wait "$pid"
+  rc=$?
+  if [ "$rc" -eq 0 ]; then
+    echo "=== done rc=0 $(date -u +%FT%TZ) ===" >> "$LOG"
+    exit 0
+  fi
+  echo "=== attempt $attempt exited rc=$rc; retrying in 300s ===" >> "$LOG"
+  sleep 300
+done
+echo "=== giving up after $ATTEMPTS attempts ===" >> "$LOG"
+exit 1

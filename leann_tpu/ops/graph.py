@@ -490,12 +490,14 @@ def spill_knn_streamed(
     # ---- top-p assignment, one fixed-shape dispatch per chunk -------------
     t0 = time.time()
     assign = np.empty((n, n_probe), np.int32)
-    for s in range(0, n, chunk_rows):
+    for ci, s in enumerate(range(0, n, chunk_rows)):
         e = min(s + chunk_rows, n)
         chunk = _pad_rows(np.asarray(emb[s:e], dtype=jnp.bfloat16), chunk_rows)
         assign[s:e] = np.asarray(
             _assign_clusters_topk(jnp.asarray(chunk), cent, min(8192, chunk_rows), n_probe)
         )[: e - s]
+        if ci % 8 == 7:  # liveness for the multi-hour-run stall watchdog
+            logger.info("spill_knn assign: %d/%d rows (%.0fs)", e, n, time.time() - t0)
     logger.info("spill_knn assign: %.1fs", time.time() - t0)
 
     # ---- expanded cluster order (host) ------------------------------------
@@ -510,7 +512,9 @@ def spill_knn_streamed(
     t0 = time.time()
     ids = _big_empty((ne, k), np.int32, scratch_dir, "spill_exp_ids.npy")
     dists = _big_empty((ne, k), np.float32, scratch_dir, "spill_exp_d.npy")
-    for s in range(0, ne, chunk_rows):
+    for ci, s in enumerate(range(0, ne, chunk_rows)):
+        if ci % 8 == 7:
+            logger.info("spill_knn window: %d/%d rows (%.0fs)", s, ne, time.time() - t0)
         e = min(s + chunk_rows, ne)
         rows = _pad_rows(np.asarray(emb[exp_orig[s:e]], dtype=jnp.bfloat16), chunk_rows)
         rows = jnp.asarray(rows)
@@ -1141,7 +1145,7 @@ def build_graph(
         del codes_h
         logger.info("prune pq trained+encoded: M=%d ds=%d codes %.2f GB on device (%.1fs)",
                     m, d_pq // m, codes_d.nbytes / 2**30, time.time() - t0)
-        for s in range(0, np_total, rows_per_dispatch):
+        for di, s in enumerate(range(0, np_total, rows_per_dispatch)):
             nb = min(rows_per_dispatch, np_total - s) // blk
             rows = np.zeros((nb * blk, d_pq), dtype=jnp.bfloat16)
             real = max(0, min(n, s + nb * blk) - s)
@@ -1151,6 +1155,8 @@ def build_graph(
                 r, float(alpha), keep_closest, blk, n_blocks=nb,
             )
             neighbors[s : s + nb * blk] = np.asarray(sel)
+            if di % 16 == 15:
+                logger.info("prune(pq): %d/%d rows (%.0fs)", s + nb * blk, np_total, time.time() - t0)
         del codes_d
     else:
         if n > EXACT_KNN_MAX_N:
@@ -1168,13 +1174,15 @@ def build_graph(
             ebf = emb_p.astype(jnp.bfloat16)
             nrm = jnp.sum(jnp.square(emb_p.astype(jnp.float32)), axis=1)
             del emb_p
-        for s in range(0, np_total, rows_per_dispatch):
+        for di, s in enumerate(range(0, np_total, rows_per_dispatch)):
             nb = min(rows_per_dispatch, np_total - s) // blk
             sel = _robust_prune_device(
                 ebf, nrm, jnp.asarray(cand_h[s : s + nb * blk]), jnp.int32(s),
                 r, float(alpha), keep_closest, blk, n_blocks=nb,
             )
             neighbors[s : s + nb * blk] = np.asarray(sel)
+            if di % 16 == 15:
+                logger.info("prune: %d/%d rows (%.0fs)", s + nb * blk, np_total, time.time() - t0)
     neighbors = neighbors[:n]
     if prune_path:
         _ckpt_save(prune_path, f"{key}_r{r}_a{alpha}_kc{keep_closest}", neighbors)
