@@ -13,15 +13,18 @@ OUT=${OUT:-$HOME/.cache/leann_tpu_bench/s20m}
 LOG=${LOG:-/tmp/s20m.log}
 STALL_S=${STALL_S:-2400}      # no log growth for 40 min = wedged dispatch
 ATTEMPTS=${ATTEMPTS:-6}
+RETRY_SLEEP=${RETRY_SLEEP:-300}
+POLL_S=${POLL_S:-120}
+SCRIPT=${SCRIPT:-benchmarks/scale_10m.py}   # overridable for the unit test
 cd "$(dirname "$0")/.."
 
 for attempt in $(seq 1 "$ATTEMPTS"); do
   echo "=== attempt $attempt $(date -u +%FT%TZ) ===" >> "$LOG"
-  python -u benchmarks/scale_10m.py --n-chunks "$N" --emb-dtype f16 \
+  python -u "$SCRIPT" --n-chunks "$N" --emb-dtype f16 \
     --out-dir "$OUT" --graph-degree 24 --complexity 1024 "$@" >> "$LOG" 2>&1 &
   pid=$!
   while kill -0 "$pid" 2>/dev/null; do
-    sleep 120
+    sleep "$POLL_S"
     age=$(( $(date +%s) - $(stat -c %Y "$LOG") ))
     if [ "$age" -gt "$STALL_S" ]; then
       echo "=== watchdog: log quiet ${age}s, killing $pid ===" >> "$LOG"
@@ -35,8 +38,8 @@ for attempt in $(seq 1 "$ATTEMPTS"); do
     echo "=== done rc=0 $(date -u +%FT%TZ) ===" >> "$LOG"
     exit 0
   fi
-  echo "=== attempt $attempt exited rc=$rc; retrying in 300s ===" >> "$LOG"
-  sleep 300
+  echo "=== attempt $attempt exited rc=$rc; retrying in ${RETRY_SLEEP}s ===" >> "$LOG"
+  sleep "$RETRY_SLEEP"
 done
 echo "=== giving up after $ATTEMPTS attempts ===" >> "$LOG"
 exit 1
