@@ -169,6 +169,11 @@ def measure_tier2():
     # cx512/beam16 from the r2 sweep: recall@3 0.974 at 37 ms/q batched
     # (cx256: 0.932@28ms, cx384: 0.964@33ms; beam 32 adds latency, no recall)
     kw = dict(top_k=3, complexity=512, beam_width=16, rerank_size=64, n_entries=128)
+    # adaptive_steps=128 for the BATCHED path only: two-phase escalation
+    # (converged lanes exit at 128 steps, stragglers rerun at full cx) —
+    # measured ~14% faster batched at identical recall on this tier. Single
+    # queries skip it: a phase-2 dispatch would add a tunnel round-trip.
+    kw_b = dict(kw, adaptive_steps=128)
 
     s.search(queries[0], **kw)  # compile warmup
     lat, labels = [], []
@@ -179,9 +184,9 @@ def measure_tier2():
         labels.append([int(r.id) for r in res])
     p50 = float(np.percentile(lat, 50))
 
-    s.search(queries, **kw)  # batched warmup
+    s.search(queries, **kw_b)  # batched warmup
     t0 = time.time()
-    res_b = s.search(queries, **kw)
+    res_b = s.search(queries, **kw_b)
     batched_ms = (time.time() - t0) * 1000 / len(queries)
     labels_b = [[int(r.id) for r in row] for row in res_b]
 

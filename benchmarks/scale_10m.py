@@ -84,6 +84,10 @@ def main():
     # required beyond ~12M chunks on a 125 GB host; quality is bf16-matmul-
     # bound on device either way
     ap.add_argument("--emb-dtype", default="f32", choices=["f32", "f16"])
+    # reverse-KNN prune candidates (ops/graph.py _augment_reverse_candidates):
+    # the bidirectional-edge quality lever for spill-KNN graphs; prune cost
+    # grows ~((C+rc)/C)^2, everything else unchanged
+    ap.add_argument("--reverse-candidates", type=int, default=0)
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -163,6 +167,7 @@ def main():
         max_length=args.max_length, distance_metric="cosine",
         graph_degree=args.graph_degree,
         build_checkpoint_dir=os.path.join(out_dir, "ckpt"),
+        reverse_candidates=args.reverse_candidates,
     )
     t0 = time.time()
     b.build_index_from_embeddings(prefix, [str(i) for i in range(len(chunks))], emb,

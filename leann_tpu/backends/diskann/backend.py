@@ -66,6 +66,7 @@ class DiskannBuilder(LeannBackendBuilderInterface):
         partition_passes: int = 10,  # reference gp_times=10
         build_sharded: bool = False,  # mesh-sharded build (parallel/sharded_build.py)
         build_checkpoint_dir: str = "",  # resume multi-hour builds phase-by-phase
+        reverse_candidates: int = 0,  # reverse-KNN prune candidates (graph.py)
         **kwargs,
     ):
         self.distance_metric = distance_metric
@@ -79,6 +80,7 @@ class DiskannBuilder(LeannBackendBuilderInterface):
         self.partition_passes = partition_passes
         self.build_sharded = build_sharded
         self.build_checkpoint_dir = build_checkpoint_dir
+        self.reverse_candidates = reverse_candidates
 
     def build(self, data: np.ndarray, ids: list, index_path: str, **kwargs) -> None:
         # f16 input is preserved (halves the host high-water at 10M+ rows);
@@ -105,6 +107,7 @@ class DiskannBuilder(LeannBackendBuilderInterface):
             neighbors, medoid = build_graph(
                 graph_data, r=r, candidate_factor=cand_factor, alpha=self.alpha,
                 checkpoint_dir=self.build_checkpoint_dir,
+                reverse_candidates=self.reverse_candidates,
             )
         n_parts = self.num_partitions
         if n_parts <= 0:

@@ -94,6 +94,7 @@ class HnswBuilder(LeannBackendBuilderInterface):
         pq_rotate: bool = True,  # OPQ rotation (ops/pq.py train_opq)
         build_sharded: bool = False,  # mesh-sharded build (parallel/sharded_build.py)
         build_checkpoint_dir: str = "",  # resume multi-hour builds phase-by-phase
+        reverse_candidates: int = 0,  # reverse-KNN prune candidates (graph.py)
         **kwargs,
     ):
         self.distance_metric = distance_metric
@@ -106,6 +107,7 @@ class HnswBuilder(LeannBackendBuilderInterface):
         self.pq_rotate = pq_rotate
         self.build_sharded = build_sharded
         self.build_checkpoint_dir = build_checkpoint_dir
+        self.reverse_candidates = reverse_candidates
 
     def build(self, data: np.ndarray, ids: list, index_path: str, **kwargs) -> None:
         # f16 input is preserved (halves the host high-water at 10M+ rows);
@@ -131,6 +133,7 @@ class HnswBuilder(LeannBackendBuilderInterface):
             neighbors, medoid = build_graph(
                 graph_data, r=self.m, candidate_factor=cand_factor, alpha=self.alpha,
                 checkpoint_dir=self.build_checkpoint_dir,
+                reverse_candidates=self.reverse_candidates,
             )
         payload: Dict[str, Any] = {
             "neighbors": neighbors,

@@ -113,6 +113,10 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--build-checkpoint-dir", default="",
                    help="persist build phases (KNN, prune) here and resume a "
                         "killed multi-hour build at the last finished phase")
+    b.add_argument("--reverse-candidates", type=int, default=0,
+                   help="feed the prune up to this many reverse-KNN candidates "
+                        "per node (bidirectional-edge quality lever for "
+                        "spill-KNN builds at 10M+ chunks)")
 
     s = sub.add_parser("search", help="search an index")
     s.add_argument("index_name")
@@ -190,6 +194,7 @@ def cmd_build(args) -> int:
         is_recompute=args.recompute,
         max_length=args.max_length,
         build_checkpoint_dir=args.build_checkpoint_dir,
+        reverse_candidates=args.reverse_candidates,
         **bk,
     )
     for c in chunks:

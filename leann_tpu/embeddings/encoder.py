@@ -83,7 +83,11 @@ def resolve_config(model_name: str) -> EncoderConfig:
     name = _ALIASES.get(model_name, model_name)
     if name in MODEL_REGISTRY:
         return MODEL_REGISTRY[name]
-    logger.warning("unknown embedding model %r; using hash-minilm architecture", model_name)
+    import os
+
+    if not os.path.isdir(model_name):  # a dir is a local HF checkpoint — its
+        # real config replaces this placeholder in JaxEncoder._load_or_init
+        logger.warning("unknown embedding model %r; using hash-minilm architecture", model_name)
     return replace(MODEL_REGISTRY["hash-minilm"], name=model_name)
 
 

@@ -1043,6 +1043,47 @@ def _ckpt_save(path: str, key: str, arr: np.ndarray) -> None:
     os.replace(tmpj, path + ".json")
 
 
+def _augment_reverse_candidates(
+    knn_ids: np.ndarray, rev_c: int, src_k: int = 16, block: int = 1 << 16,
+) -> np.ndarray:
+    """Append up to ``rev_c`` REVERSE-edge candidates per row before the
+    α-prune: node j gains every i that lists j among its ``src_k`` closest
+    forward candidates (deduped against j's own forward list, -1 padded).
+
+    Vamana inserts edges bidirectionally during build (reference DiskANN fork
+    build path, SURVEY.md §2.3) — the batched prune here otherwise only ever
+    sees each node's *outgoing* KNN list, so a node in a dense region is
+    invisible to the sparse nodes that need an edge *into* it. Pure host op
+    over the [N, C] candidate array: one stable argsort of N*src_k edges
+    (~20 s / 1.3 GB indices at 10M, src_k=16) — negligible next to the prune
+    phase it feeds."""
+    n, c = knn_ids.shape
+    src_k = min(src_k, c)
+    dst = np.ascontiguousarray(knn_ids[:, :src_k]).ravel()
+    src = np.repeat(np.arange(n, dtype=np.int32), src_k)
+    valid = dst >= 0
+    dst, src = dst[valid], src[valid]
+    order = np.argsort(dst, kind="stable")  # groups edges by target node
+    dst, src = dst[order], src[order]
+    counts = np.bincount(dst, minlength=n)
+    starts = np.zeros(n, np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    # position of each edge within its target's group; closest-first order is
+    # preserved per source by the stable sort
+    pos = np.arange(dst.shape[0], dtype=np.int64) - starts[dst]
+    sel = pos < rev_c
+    rev = np.full((n, rev_c), -1, np.int32)
+    rev[dst[sel], pos[sel]] = src[sel]
+    del dst, src, order, counts, starts, pos, sel
+    for s in range(0, n, block):  # drop rev entries already in the fwd list
+        e = min(s + block, n)
+        dup = (rev[s:e, :, None] == knn_ids[s:e, None, :]).any(-1)
+        blk_rev = rev[s:e]
+        blk_rev[dup] = -1
+        rev[s:e] = blk_rev
+    return np.concatenate([np.asarray(knn_ids), rev], axis=1)
+
+
 def build_graph(
     emb: np.ndarray,
     r: int = 32,
@@ -1052,11 +1093,17 @@ def build_graph(
     query_block: int = 1024,
     prune_block: int = 512,
     checkpoint_dir: str = "",
+    reverse_candidates: int = 0,
 ) -> Tuple[np.ndarray, int]:
     """Build a fixed-degree navigable graph. -> (neighbors i32[N, R], medoid).
 
     knn(C=r*candidate_factor) → α-prune to ≤R (keeping the closest
     ``keep_closest`` unconditionally) → reverse-edge fill to R.
+
+    ``reverse_candidates > 0`` additionally feeds the prune up to that many
+    reverse-KNN candidates per node (:func:`_augment_reverse_candidates`) —
+    the bidirectional-edge quality lever for spill-KNN builds (10M+), where
+    forward window candidates alone under-connect cluster boundaries.
 
     ``checkpoint_dir``: persist each phase's output (KNN candidates, pruned
     neighbors) keyed on a corpus-content hash + phase params, and resume from
@@ -1070,13 +1117,14 @@ def build_graph(
     c = min(r * candidate_factor, max(n - 1, 1))
     if keep_closest < 0:
         keep_closest = r // 4
+    rc_tag = f"_rc{reverse_candidates}" if reverse_candidates > 0 else ""
     knn_path = prune_path = key = None
     if checkpoint_dir:
         os.makedirs(checkpoint_dir, exist_ok=True)
         key = _ckpt_key(emb, f"c{c}")
         knn_path = os.path.join(checkpoint_dir, "ckpt_knn.npy")
         prune_path = os.path.join(checkpoint_dir, "ckpt_pruned.npy")
-        done = _ckpt_load(prune_path, f"{key}_r{r}_a{alpha}_kc{keep_closest}")
+        done = _ckpt_load(prune_path, f"{key}_r{r}_a{alpha}_kc{keep_closest}{rc_tag}")
         if done is not None:
             logger.info("build_graph: resumed pruned graph from %s", prune_path)
             out = _fill_reverse_edges(done, np.random.default_rng(0))
@@ -1104,9 +1152,16 @@ def build_graph(
                 pass
     logger.info("build_graph knn phase: %.1fs (host rss %.1f GB)", time.time() - t0, _rss_gb())
 
+    if reverse_candidates > 0 and n > 1:
+        t0 = time.time()
+        knn_ids = _augment_reverse_candidates(knn_ids, reverse_candidates)
+        logger.info("reverse-candidate augment: +%d slots, %.1fs (host rss %.1f GB)",
+                    reverse_candidates, time.time() - t0, _rss_gb())
+    cw = knn_ids.shape[1]  # candidate width the prune actually sees
+
     t0 = time.time()
     # keep the [block, C, C] occlusion tensor bounded
-    blk = max(8, (min(prune_block, int((256 << 20) / max(c * c * 4, 1))) // 8) * 8)
+    blk = max(8, (min(prune_block, int((256 << 20) / max(cw * cw * 4, 1))) // 8) * 8)
     np_total = _bucket_rows(n, blk)
     cand_h = _pad_rows(knn_ids, np_total, fill=-1)  # host-resident; sliced per dispatch
     # chunk dispatches (~128K rows each) so none outlives the tunnel watchdog
@@ -1185,7 +1240,7 @@ def build_graph(
                 logger.info("prune: %d/%d rows (%.0fs)", s + nb * blk, np_total, time.time() - t0)
     neighbors = neighbors[:n]
     if prune_path:
-        _ckpt_save(prune_path, f"{key}_r{r}_a{alpha}_kc{keep_closest}", neighbors)
+        _ckpt_save(prune_path, f"{key}_r{r}_a{alpha}_kc{keep_closest}{rc_tag}", neighbors)
     logger.info("build_graph prune phase: %.1fs (pq=%s, host rss %.1f GB)",
                 time.time() - t0, pq_mode, _rss_gb())
 

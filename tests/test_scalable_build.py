@@ -285,3 +285,75 @@ class TestPQPrune:
         g, med = G.build_graph(emb, r=8)
         assert g.shape == (1024, 8) and 0 <= med < 1024
         assert ((g >= -1) & (g < 1024)).all()
+
+
+class TestReverseCandidates:
+    """Reverse-KNN candidate augmentation before the prune (the bidirectional
+    Vamana edge lever for spill-KNN builds)."""
+
+    def test_augment_contract(self):
+        from leann_tpu.ops.graph import _augment_reverse_candidates
+
+        # node 0 -> {1, 2}; node 1 -> {0}; node 2 -> {1}; node 3 -> {} (padded)
+        fwd = np.array([[1, 2], [0, -1], [1, -1], [-1, -1]], np.int32)
+        out = _augment_reverse_candidates(fwd, rev_c=2)
+        assert out.shape == (4, 4)
+        np.testing.assert_array_equal(out[:, :2], fwd)  # forward list untouched
+        rev = out[:, 2:]
+        assert 2 in rev[1].tolist()        # 2 lists 1 and 1's fwd lacks 2
+        assert 0 not in rev[1].tolist()    # 0 is already a fwd candidate of 1
+        assert rev[0].tolist() == [-1, -1]  # 1 -> 0 is dup of fwd; nothing else
+        assert 0 in rev[2].tolist()        # 0 lists 2, 2's fwd lacks 0
+        assert rev[3].tolist() == [-1, -1]  # nobody lists node 3
+        for i in range(4):
+            row = rev[i][rev[i] >= 0].tolist()
+            assert i not in row and len(row) == len(set(row))
+
+    def test_rev_c_truncation_keeps_closest_sources(self):
+        from leann_tpu.ops.graph import _augment_reverse_candidates
+
+        # every node lists node 0 first; rev_c=2 keeps the lowest-id sources
+        # (stable grouping preserves source order)
+        n = 6
+        fwd = np.full((n, 1), 0, np.int32)
+        fwd[0, 0] = 5  # not a low id, so dedup doesn't mask the truncation
+        out = _augment_reverse_candidates(fwd, rev_c=2)
+        assert out[0, 1:].tolist() == [1, 2]
+
+    def test_spill_build_recall_not_worse(self, rng, monkeypatch):
+        """On the forced spill path (the only place the knob is aimed at),
+        reverse candidates must not hurt search recall and typically help
+        boundary nodes. Loose bound: parity within noise."""
+        import jax.numpy as jnp
+
+        from leann_tpu.ops import graph as G
+        from leann_tpu.ops.beam_search import BeamConfig, GraphData, beam_search_batch
+
+        centers = rng.standard_normal((30, 24)).astype(np.float32) * 3
+        n = 4000
+        emb = (centers[rng.integers(0, 30, n)]
+               + rng.standard_normal((n, 24)).astype(np.float32) * 0.7)
+        monkeypatch.setattr(G, "EXACT_KNN_MAX_N", 1000)
+        g_plain, med = G.build_graph(emb, r=8)
+        g_rev, _ = G.build_graph(emb, r=8, reverse_candidates=8)
+        assert g_rev.shape == g_plain.shape
+
+        entries = np.unique(np.concatenate([[med], np.arange(0, n, 64)])).astype(np.int32)
+        q = emb[:48]
+        dd = ((q[:, None, :] - emb[None]) ** 2).sum(-1)
+        truth = np.argsort(dd, axis=1)[:, :5]
+        cfg = BeamConfig(metric="l2", k=5, complexity=48, beam=4, max_steps=48,
+                         traversal="stored", n_entries=16)
+
+        def rec(graph):
+            gd = GraphData(neighbors=jnp.asarray(graph), entry_ids=jnp.asarray(entries),
+                           emb=jnp.asarray(emb), tokens=jnp.zeros((1, 1), jnp.int32),
+                           lengths=jnp.zeros((1,), jnp.int32),
+                           codes=jnp.zeros((1, 1), jnp.uint8),
+                           codebooks=jnp.zeros((1, 1, 1), jnp.float32), entry_emb=None)
+            labels, _, _, _ = beam_search_batch(jnp.asarray(q), gd, cfg)
+            labels = np.asarray(labels)
+            return np.mean([len(set(a.tolist()) & set(b.tolist())) for a, b in zip(labels, truth)]) / 5
+
+        r_rev, r_plain = rec(g_rev), rec(g_plain)
+        assert r_rev >= r_plain - 0.05, f"reverse-candidates hurt: {r_rev} vs {r_plain}"
