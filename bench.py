@@ -211,15 +211,25 @@ def measure_tier2():
 def measure_dpr21m():
     """Recall/latency on the cached 2.1M-chunk R=32 diskann index (the
     reference's DPR eval scale, configuration-guide.md:92 '95%+ recall').
-    Skipped when the cache is absent (fresh machine) — the index costs ~67
-    min to build (scale_500k.py --n-chunks 2100000 --out-dir ...); queries
-    and oracle reproduce deterministically from the same seed."""
+    Skipped when the cache is absent (fresh machine) — the index costs ~60
+    min to build; rebuild resumably (phase checkpoints survive kills) with
+    `python benchmarks/scale_10m.py --n-chunks 2100000 --graph-degree 32
+    --out-dir ~/.cache/leann_tpu_bench/dpr21m_r32`; queries and oracle
+    reproduce deterministically from the same seed."""
     if os.environ.get("LEANN_BENCH_DPR", "1") != "1":
         return {}
     tier = os.path.join(CACHE_DIR, "dpr21m_r32")
-    prefix = os.path.join(tier, "big.leann")
+    # accept either builder's prefix: scale_500k writes big.leann, the
+    # resumable scale_10m path (used to rebuild this tier on fresh machines)
+    # writes big10m.leann
+    prefix = ""
+    if os.path.isdir(tier):
+        for f in sorted(os.listdir(tier)):
+            if f.endswith(".leann.meta.json"):
+                prefix = os.path.join(tier, f[: -len(".meta.json")])
+                break
     tpath = os.path.join(tier, "truth.npy")
-    if not (os.path.exists(prefix + ".meta.json") and os.path.exists(tpath)):
+    if not (prefix and os.path.exists(tpath)):
         log("dpr21m tier skipped: no cached index")
         return {}
     from scale_500k import synth_corpus
