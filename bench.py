@@ -81,14 +81,13 @@ def load_chunks(max_chunks=1000):
 
 def index_all_in_bytes(prefix):
     """Sum of every artifact needed to SEARCH this index: backend npz (graph +
-    PQ), tokens.npz, partition.npy, ids.json, meta.json. Excludes only the
-    passage text (.passages.*) which any system needs to return results."""
-    d, base = os.path.dirname(prefix), os.path.basename(prefix)
-    total = 0
-    for f in os.listdir(d):
-        if f.startswith(base) and ".passages." not in f:
-            total += os.path.getsize(os.path.join(d, f))
-    return total
+    PQ), partition, ids, meta.json. Excludes the passage text (.passages.* —
+    any system needs the text to return results) and derivable caches
+    (.cache.* — e.g. the token store, regenerated from the passages at load;
+    see leann_tpu/storage.py)."""
+    from leann_tpu.storage import index_all_in_bytes as _aib
+
+    return _aib(prefix)
 
 
 def recall_against(truth, labels_list):

@@ -76,7 +76,8 @@ def timed_searches(searcher, queries, warmup=1, **kw):
 def index_size_bytes(prefix: str, backend: str) -> int:
     suffix = {"hnsw": ".hnsw.npz", "diskann": ".diskann.npz", "flat": ".flat.npz"}[backend]
     total = os.path.getsize(prefix + suffix)
-    part = prefix + ".partition.npy"
-    if backend == "diskann" and os.path.exists(part):
-        total += os.path.getsize(part)
+    if backend == "diskann":
+        for part in (prefix + ".partition.npy", prefix + ".partition.npz"):
+            if os.path.exists(part):
+                total += os.path.getsize(part)
     return total

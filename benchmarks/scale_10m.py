@@ -176,12 +176,11 @@ def main():
     print(f"[{phases['build_s']}s] index built (rss {rss_gb():.1f} GB)", flush=True)
     del emb, chunks  # free before the searcher loads the index
 
-    # all-in accounting (everything needed to search; text excluded)
-    idx_bytes = sum(
-        os.path.getsize(os.path.join(out_dir, f))
-        for f in os.listdir(out_dir)
-        if f.startswith(os.path.basename(prefix)) and ".passages." not in f
-    )
+    # all-in accounting (everything needed to search; text + derivable
+    # caches excluded — storage.py index_all_in_bytes)
+    from leann_tpu.storage import index_all_in_bytes
+
+    idx_bytes = index_all_in_bytes(prefix)
 
     s = LeannSearcher(prefix)
     kw = dict(top_k=3, complexity=args.complexity, beam_width=args.beam_width,

@@ -112,10 +112,13 @@ def main():
     else:
         print("reusing existing index", flush=True)
 
-    idx_bytes = os.path.getsize(prefix + f".{args.backend}.npz")
+    from leann_tpu.storage import index_all_in_bytes
+
+    idx_bytes = index_all_in_bytes(prefix)
     tok_bytes = sum(
         os.path.getsize(prefix + ext)
-        for ext in (".tokens.npz", ".tokens.npy", ".lengths.npy")
+        for ext in (".tokens.npz", ".tokens.npy", ".lengths.npy",
+                    ".tokens.cache.npz", ".tokens.cache.npy", ".lengths.cache.npy")
         if os.path.exists(prefix + ext)
     )
 

@@ -18,7 +18,10 @@ On-disk layout per index prefix ``<dir>/<name>.leann``:
   ``<prefix>.meta.json``        build params, model, metric, flags
   ``<prefix>.passages.jsonl``   one {"id", "text", "metadata"} per line
   ``<prefix>.passages.idx``     pickled {id: byte_offset}
-  ``<prefix>.tokens.npz``       token ids/mask lengths (recompute indexes)
+  ``<prefix>.tokens.cache.np*`` token ids/lengths (recompute indexes) — a
+                                derivable CACHE (storage.py), regenerated
+                                from the passages when absent and excluded
+                                from all-in index accounting
   backend payloads              e.g. ``<prefix>.hnsw.npz``
 """
 
@@ -40,13 +43,11 @@ from .interface import LeannBackendSearcherInterface
 from .metadata_filter import MetadataFilterEngine
 from .registry import get_backend, register_project_directory
 
+from .storage import load_ids, save_ids, tokenize_corpus, write_token_cache
+
 logger = logging.getLogger(__name__)
 
-INDEX_FORMAT_VERSION = 1
-
-# token stores above this switch from .tokens.npz to raw .tokens.npy, which
-# memmaps at load (see _maybe_write_tokens / BaseSearcher.load_tokens)
-RAW_TOKEN_STORE_BYTES = 1 << 30
+INDEX_FORMAT_VERSION = 2
 
 # Models whose embeddings are unit-norm; cosine is forced for them the way the
 # reference does for OpenAI/Voyage/Cohere (api.py:301-368).
@@ -317,37 +318,30 @@ class LeannBuilder:
                 f.write(b"\n")
         with open(f"{prefix}.passages.idx", "wb") as f:
             pickle.dump(offsets, f)
-        ids_path = f"{prefix}.ids.json"
-        if os.path.exists(ids_path):
-            with open(ids_path) as f:
-                id_list = json.load(f)
+        if os.path.exists(f"{prefix}.ids.json"):
+            id_list = load_ids(prefix)
             id_list.extend(c["id"] for c in chunks)
-            with open(ids_path, "w") as f:
-                json.dump(id_list, f)
-        # 2. append tokens (either store format; stays in its format)
-        tok_path = f"{prefix}.tokens.npz"
-        raw_path = f"{prefix}.tokens.npy"
-        if os.path.exists(raw_path) or os.path.exists(tok_path):
+            save_ids(prefix, id_list)
+        # 2. append tokens (the cache re-derives if we skipped, but appending
+        # in place is cheaper than a full re-tokenization at next load)
+        from .storage import load_token_cache
+
+        old = load_token_cache(prefix)
+        if old is not None:
             from .embeddings.encoder import get_encoder
 
             enc = get_encoder(self.embedding_model, max_length=meta.get("max_length", self.max_length))
-            if os.path.exists(raw_path):
-                old_tok = np.load(raw_path, mmap_mode="r")
-                old_len = np.load(f"{prefix}.lengths.npy")
-            else:
-                z = np.load(tok_path)
-                old_tok, old_len = z["tokens"], z["lengths"]
+            old_tok, old_len = old
             new_tok, new_mask = enc.tokenize(texts)
             t_old = old_tok.shape[1]
             new_tok = new_tok[:, :t_old]
             lengths = np.minimum(new_mask.sum(axis=1), t_old).astype(np.int32)
             all_tok = np.concatenate([old_tok, new_tok.astype(old_tok.dtype)])
             all_len = np.concatenate([old_len, lengths])
-            if os.path.exists(raw_path):
-                np.save(raw_path, all_tok)
-                np.save(f"{prefix}.lengths.npy", all_len)
-            else:
-                np.savez_compressed(tok_path, tokens=all_tok, lengths=all_len)
+            for stale in (f"{prefix}.tokens.npy", f"{prefix}.lengths.npy", f"{prefix}.tokens.npz"):
+                if os.path.exists(stale):
+                    os.remove(stale)  # legacy store superseded by the cache
+            write_token_cache(prefix, all_tok, all_len)
         # 3. graph insert, in bounded batches
         for s in range(0, len(chunks), insert_batch_size):
             insert(prefix, embeddings[s : s + insert_batch_size])
@@ -396,38 +390,20 @@ class LeannBuilder:
         self._write_meta(prefix, [source], n=len(ids))
 
     def _maybe_write_tokens(self, texts: List[str], prefix: str) -> None:
-        """Tokenize passages for on-device recompute. Stored as uint16 when the
-        vocab allows (tokens ≈ compressed text; 6x smaller than f32 vectors)."""
+        """Tokenize passages for on-device recompute. Stored as uint16 when
+        the vocab allows (tokens ≈ compressed text; 6x smaller than f32
+        vectors). Written as a ``.cache.`` artifact — the store is derivable
+        from the passages (storage.py derive_token_cache), so building it now
+        just saves the first searcher the re-tokenization."""
         if not (self.is_recompute and self.embedding_mode in ("tpu", "jax", "sentence-transformers", "hf", "mlx")):
+            return
+        if not texts:
             return
         from .embeddings.encoder import get_encoder
 
         enc = get_encoder(self.embedding_model, max_length=self.max_length)
-        dtype = np.uint16 if enc.cfg.vocab_size <= 65535 else np.int32
-        # sliced tokenize straight into the u16 buffer: one full-corpus
-        # tokenize holds [N, T] i32 ids + i32 mask at once (~10 GB transient
-        # at 20M x 64) — per-slice the transient is a few MB at any N
-        n = len(texts)
-        if not n:
-            return
-        step = 1 << 20
-        tok = None
-        lengths = np.empty((n,), np.int32)
-        for s in range(0, n, step):
-            ids_arr, mask = enc.tokenize(texts[s : s + step])
-            if tok is None:
-                tok = np.empty((n, ids_arr.shape[1]), dtype)
-            tok[s : s + step] = ids_arr
-            lengths[s : s + step] = mask.sum(axis=1)
-        if tok.nbytes > RAW_TOKEN_STORE_BYTES:
-            # raw .npy above ~1 GB: np.load(mmap_mode='r') maps it instantly
-            # and the host-deferred rerank gather touches only needed pages —
-            # an npz would decompress the whole store (7.7 GB at 60M) on
-            # every searcher construction
-            np.save(f"{prefix}.tokens.npy", tok)
-            np.save(f"{prefix}.lengths.npy", lengths)
-        else:
-            np.savez_compressed(f"{prefix}.tokens.npz", tokens=tok, lengths=lengths)
+        tok, lengths = tokenize_corpus(texts, enc)
+        write_token_cache(prefix, tok, lengths)
 
     @staticmethod
     def _is_unit_norm(embeddings: np.ndarray, tol: float = 3e-3) -> bool:

@@ -10,12 +10,12 @@ from __future__ import annotations
 
 import json
 import logging
-import os
 from typing import Any, Dict, List, Optional
 
 import numpy as np
 
 from ..embeddings.compute import compute_embeddings
+from ..storage import derive_token_cache, load_ids, load_token_cache, save_ids  # noqa: F401 (re-export)
 
 logger = logging.getLogger(__name__)
 
@@ -63,11 +63,7 @@ class BaseSearcher:
         self.distance_metric = meta.get("distance_metric", "mips")
         self.max_length = meta.get("max_length", 256)
         self.dim = meta.get("dimensions")
-        self.id_list: List[str] = []
-        ids_path = f"{index_path}.ids.json"
-        if os.path.exists(ids_path):
-            with open(ids_path) as f:
-                self.id_list = json.load(f)
+        self.id_list: List[str] = load_ids(index_path)
 
     def compute_query_embedding(self, query: str, **kwargs) -> np.ndarray:
         emb = compute_embeddings(
@@ -77,31 +73,25 @@ class BaseSearcher:
         return emb
 
     def load_tokens(self) -> "tuple[np.ndarray, np.ndarray] | None":
-        """Load the build-time token matrix -> (tokens [N, T] u16|i32, lengths [N]).
+        """Load the token matrix -> (tokens [N, T] u16|i32, lengths [N]).
         Tokens keep their stored dtype (u16 when the vocab fits) so the HBM
         copy is half-size; encode_tokens casts to i32 after the gather.
         Large stores are raw .npy (written above RAW_TOKEN_STORE_BYTES) and
         come back MEMMAPPED — host-deferred rerank gathers touch only the
-        pages they need; device uploads read through the map once."""
-        raw = f"{self.index_path}.tokens.npy"
-        if os.path.exists(raw):
-            return (
-                np.load(raw, mmap_mode="r"),
-                np.load(f"{self.index_path}.lengths.npy").astype(np.int32),
-            )
-        path = f"{self.index_path}.tokens.npz"
-        if not os.path.exists(path):
+        pages they need; device uploads read through the map once.
+
+        The store is a derivable CACHE (storage.py): when neither the cache
+        nor a legacy store exists but the index was built for recompute, it
+        is regenerated from passages.jsonl + the deterministic tokenizer."""
+        tok = load_token_cache(self.index_path)
+        if tok is not None:
+            return tok
+        if not self.meta.get("is_recompute", True):
             return None
-        z = np.load(path)
-        return z["tokens"], z["lengths"].astype(np.int32)
+        return derive_token_cache(self.index_path, self.embedding_model, self.max_length)
 
     def cleanup(self) -> None:
         pass
-
-
-def save_ids(index_path: str, ids: List[str]) -> None:
-    with open(f"{index_path}.ids.json", "w") as f:
-        json.dump(list(ids), f)
 
 
 def mips_augment(data):

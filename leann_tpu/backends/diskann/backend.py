@@ -17,7 +17,9 @@ Capability parity with the reference DiskANN backend
     (diskann_backend.py:444-449) without the ZMQ/protobuf hop.
     ``beam_width`` parity: wider beam = more parallel expansions per hop.
 
-On-disk payload: ``<prefix>.diskann.npz`` + ``<prefix>.partition.npy``.
+On-disk payload: ``<prefix>.diskann.npz`` (neighbors packed via storage.py
+sorted-delta deflate) + ``<prefix>.partition.npz`` (per-partition counts —
+the relayout makes the assignment a step function).
 """
 
 from __future__ import annotations
@@ -44,6 +46,7 @@ from ...ops.beam_search import (
 from ...ops.graph import build_graph
 from ...ops.pq import choose_m, encode_pq_blocked, lift_codebooks, train_opq, train_pq
 from ...registry import register_backend
+from ...storage import pack_neighbors, save_partition, token_cache_paths, unpack_neighbors
 from ..common import BaseSearcher, mips_augment, pad_batch_rows, save_ids
 from ..hnsw.backend import _entry_pool
 from .partition import edge_locality, ldg_partition
@@ -146,7 +149,7 @@ class DiskannBuilder(LeannBackendBuilderInterface):
             codebooks = cb_plain = train_pq(data, m=m)
         codes = encode_pq_blocked(data, codebooks)
         payload = {
-            "neighbors": neighbors,
+            **pack_neighbors(neighbors),  # sorted-delta deflate (storage.py)
             "medoid": np.int32(medoid),
             "entries": _entry_pool(medoid, n, has_screen=True),  # codes always exist
             "metric": self.distance_metric,
@@ -164,7 +167,7 @@ class DiskannBuilder(LeannBackendBuilderInterface):
             # exact MXU seed screening
             payload["entry_emb"] = data[payload["entries"]].astype(np.float16)
         np.savez(f"{index_path}.diskann.npz", **payload)
-        np.save(f"{index_path}.partition.npy", assign)
+        save_partition(index_path, assign)  # counts after relayout (step fn)
         logger.info(
             "diskann build: N=%d R=%d M(pq)=%d parts=%d locality=%.2f",
             n, r, m, n_parts, edge_locality(neighbors, assign),
@@ -177,18 +180,18 @@ class DiskannBuilder(LeannBackendBuilderInterface):
         relayout must permute it to match the relabeled graph."""
         import os
 
-        raw = f"{index_path}.tokens.npy"
-        if os.path.exists(raw):
-            tok = np.load(raw, mmap_mode="r")[order]  # materializes once
-            np.save(raw, tok)
-            lp = f"{index_path}.lengths.npy"
-            np.save(lp, np.load(lp)[order])
-            return
-        path = f"{index_path}.tokens.npz"
-        if not os.path.exists(path):
-            return
-        z = np.load(path)
-        np.savez_compressed(path, tokens=z["tokens"][order], lengths=z["lengths"][order])
+        p = token_cache_paths(index_path)
+        for raw, lenp in ((p["raw"], p["raw_len"]), (p["legacy_raw"], p["legacy_raw_len"])):
+            if os.path.exists(raw):
+                tok = np.load(raw, mmap_mode="r")[order]  # materializes once
+                np.save(raw, tok)
+                np.save(lenp, np.load(lenp)[order])
+                return
+        for path in (p["npz"], p["legacy_npz"]):
+            if os.path.exists(path):
+                z = np.load(path)
+                np.savez_compressed(path, tokens=z["tokens"][order], lengths=z["lengths"][order])
+                return
 
 
 class DiskannSearcher(BaseSearcher, LeannBackendSearcherInterface):
@@ -211,7 +214,8 @@ class DiskannSearcher(BaseSearcher, LeannBackendSearcherInterface):
         diskann_backend.py:444-467), 'auto' picks by store size."""
         super().__init__(index_path, **kwargs)
         z = np.load(f"{index_path}.diskann.npz", allow_pickle=False)
-        self.neighbors = jnp.asarray(z["neighbors"])
+        nbr_np = unpack_neighbors(z)  # packed (storage.py) or legacy raw
+        self.neighbors = jnp.asarray(nbr_np)
         self.entries = np.asarray(z["entries"])
         self.metric = str(z["metric"])
         self.n = int(self.neighbors.shape[0])
@@ -263,7 +267,7 @@ class DiskannSearcher(BaseSearcher, LeannBackendSearcherInterface):
             tok = self.load_tokens()
             self._sharded = ShardedSearcher(
                 mesh,
-                np.asarray(z["neighbors"]),
+                nbr_np,
                 entries=self.entries,
                 emb=np.asarray(z["embeddings"]) if "embeddings" in z else None,
                 tokens=tok[0] if tok else None,

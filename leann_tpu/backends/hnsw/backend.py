@@ -47,6 +47,7 @@ from ...ops.beam_search import (
 from ...ops.graph import build_graph
 from ...ops.pq import choose_m, encode_pq_blocked, lift_codebooks, train_opq, train_pq
 from ...registry import register_backend
+from ...storage import pack_neighbors, unpack_neighbors
 from ..common import BaseSearcher, mips_augment, pad_batch_rows, save_ids
 
 logger = logging.getLogger(__name__)
@@ -136,7 +137,7 @@ class HnswBuilder(LeannBackendBuilderInterface):
                 reverse_candidates=self.reverse_candidates,
             )
         payload: Dict[str, Any] = {
-            "neighbors": neighbors,
+            **pack_neighbors(neighbors),  # sorted-delta deflate (storage.py)
             "medoid": np.int32(medoid),
             "metric": self.distance_metric,
             "is_compact": self.is_compact,
@@ -176,7 +177,8 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
     def __init__(self, index_path: str, sharded: "bool | str" = False, **kwargs):
         super().__init__(index_path, **kwargs)
         z = np.load(f"{index_path}.hnsw.npz", allow_pickle=False)
-        self.neighbors = jnp.asarray(z["neighbors"])
+        self._nbr_np = unpack_neighbors(z)  # packed (storage.py) or legacy raw
+        self.neighbors = jnp.asarray(self._nbr_np)
         self.entries = np.asarray(z["entries"])
         self.metric = str(z["metric"])
         self.is_compact = bool(z["is_compact"])
@@ -217,7 +219,7 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
         tok = self.load_tokens()
         self._sharded = ShardedSearcher(
             mesh,
-            np.asarray(z["neighbors"]),
+            self._nbr_np,
             entries=self.entries,
             emb=np.asarray(z["embeddings"]) if "embeddings" in z else None,
             tokens=tok[0] if tok else None,
@@ -417,15 +419,18 @@ def insert_hnsw(index_path: str, new_emb: np.ndarray, ef: int = 64, alpha: float
 
     path = f"{index_path}.hnsw.npz"
     z = dict(np.load(path, allow_pickle=False))
+    old_rows = unpack_neighbors(z)
+    for k in ("neighbors", "neighbors_packed", "neighbors_n", "neighbors_r"):
+        z.pop(k, None)
     searcher = HnswSearcher(index_path)
     new_emb = np.ascontiguousarray(new_emb, dtype=np.float32)
-    n_old = int(z["neighbors"].shape[0])
+    n_old = int(old_rows.shape[0])
 
     new_rows, touched, touched_rows = insert_batch(searcher, new_emb, ef=ef, alpha=alpha)
-    neighbors = np.concatenate([z["neighbors"], new_rows.astype(z["neighbors"].dtype)])
+    neighbors = np.concatenate([old_rows, new_rows.astype(old_rows.dtype)])
     if touched.size:
         neighbors[touched] = touched_rows
-    z["neighbors"] = neighbors
+    z.update(pack_neighbors(neighbors))
     if "codes" in z:
         cb = z["codebooks"]
         if "pq_rotation" in z:

@@ -149,6 +149,9 @@ def build_parser() -> argparse.ArgumentParser:
     r = sub.add_parser("remove", help="remove an index")
     r.add_argument("index_name")
     r.add_argument("--force", "-f", action="store_true")
+
+    rp = sub.add_parser("repack", help="repack an index into the compact v2 storage format")
+    rp.add_argument("index_name", help="index name or a literal path prefix ending in .leann")
     return p
 
 
@@ -271,11 +274,24 @@ def cmd_remove(args) -> int:
     return 0
 
 
+def cmd_repack(args) -> int:
+    from .repack import repack_index
+
+    prefix = args.index_name if args.index_name.endswith(".leann") else find_index(args.index_name)
+    if prefix is None or not os.path.exists(f"{prefix}.meta.json"):
+        print(f"Index '{args.index_name}' not found.", file=sys.stderr)
+        return 1
+    rep = repack_index(prefix)
+    print(f"{rep['before_bytes'] / 1e6:.1f} -> {rep['after_bytes'] / 1e6:.1f} MB "
+          f"({len(rep['steps'])} artifacts repacked)")
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     logging.basicConfig(level=os.environ.get("LEANN_LOG_LEVEL", "WARNING"))
     args = build_parser().parse_args(argv)
     handlers = {"build": cmd_build, "search": cmd_search, "ask": cmd_ask,
-                "list": cmd_list, "remove": cmd_remove}
+                "list": cmd_list, "remove": cmd_remove, "repack": cmd_repack}
     return handlers[args.command](args)
 
 

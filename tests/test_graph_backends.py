@@ -342,7 +342,9 @@ class TestDiskannBackendE2E:
         for text, md in tiny_corpus:
             b.add_text(text, metadata=md)
         b.build_index(idx)
-        assign = np.load(idx + ".partition.npy")
+        from leann_tpu.storage import load_partition
+
+        assign = load_partition(idx)
         assert assign.shape == (len(tiny_corpus),)
         sizes = np.bincount(assign, minlength=4)
         assert sizes.max() - sizes.min() <= 2
@@ -523,10 +525,10 @@ class TestHostDeferredRerank:
         np.testing.assert_allclose(rh["distances"], rd["distances"], rtol=1e-5)
         # at cx64 this fixture matches the flat MIPS oracle exactly; the
         # query's own chunk is rank 1. Backend labels are LDG-relabeled rows —
-        # map through ids.json (what the API layer does) before comparing.
-        import json
+        # map through the id list (what the API layer does) before comparing.
+        from leann_tpu.storage import load_ids
 
-        ids = json.load(open(f"{prefix}.ids.json"))
+        ids = load_ids(prefix)
         assert ids[rh["labels"][0][0]] == "42" and ids[rh["labels"][1][0]] == "200"
 
 
@@ -539,12 +541,12 @@ class TestRawTokenStore:
     def test_raw_roundtrip_search_and_append(self, tmp_path, monkeypatch):
         import os
 
-        import leann_tpu.api as api
+        import leann_tpu.storage as storage
         from leann_tpu import LeannBuilder
         from leann_tpu.backends.diskann.backend import DiskannSearcher
         from leann_tpu.embeddings.encoder import get_encoder
 
-        monkeypatch.setattr(api, "RAW_TOKEN_STORE_BYTES", 0)
+        monkeypatch.setattr(storage, "RAW_TOKEN_STORE_BYTES", 0)
         rng = np.random.default_rng(5)
         texts = [f"doc {i} " + " ".join(f"w{rng.integers(0, 200)}" for _ in range(8))
                  for i in range(150)]
@@ -554,8 +556,8 @@ class TestRawTokenStore:
         for t in texts:
             b.add_text(t)
         b.build_index(prefix)
-        assert os.path.exists(f"{prefix}.tokens.npy")
-        assert not os.path.exists(f"{prefix}.tokens.npz")
+        assert os.path.exists(f"{prefix}.tokens.cache.npy")
+        assert not os.path.exists(f"{prefix}.tokens.cache.npz")
         dev = DiskannSearcher(prefix)
         host = DiskannSearcher(prefix, token_residency="host")
         assert isinstance(host.tokens_host, np.memmap)  # raw store stays mapped
@@ -571,13 +573,13 @@ class TestRawTokenStore:
         for t in texts:
             bh.add_text(t)
         bh.build_index(hp)
-        assert os.path.exists(f"{hp}.tokens.npy")
+        assert os.path.exists(f"{hp}.tokens.cache.npy")
         b2 = LeannBuilder(backend_name="hnsw", embedding_model="hash-tiny",
                           max_length=32, M=8)
         for i in range(10):
             b2.add_text(f"appended {i} w7 w8 w9")
         b2.update_index(hp)
-        tok = np.load(f"{hp}.tokens.npy", mmap_mode="r")
+        tok = np.load(f"{hp}.tokens.cache.npy", mmap_mode="r")
         assert tok.shape[0] == 160
         from leann_tpu.backends.hnsw.backend import HnswSearcher
 

@@ -78,15 +78,17 @@ class TestUpdateIndex:
         with open(f"{path}.passages.idx", "rb") as f:
             offsets = pickle.load(f)
         assert len(offsets) == 45
-        ids = json.load(open(f"{path}.ids.json"))
+        from leann_tpu.storage import load_ids, load_token_cache, unpack_neighbors
+
+        ids = load_ids(path)
         assert len(ids) == len(set(ids)) == 45
         z = np.load(f"{path}.hnsw.npz")
-        assert z["neighbors"].shape[0] == 45
+        nb = unpack_neighbors(z)
+        assert nb.shape[0] == 45
         assert z["codes"].shape[0] == 45
-        zt = np.load(f"{path}.tokens.npz")
-        assert zt["tokens"].shape[0] == 45
+        tok, _ = load_token_cache(path)
+        assert tok.shape[0] == 45
         # graph invariants: no self loops, ids in range, no dup edges per row
-        nb = z["neighbors"]
         for i in range(nb.shape[0]):
             row = nb[i][nb[i] >= 0]
             assert i not in row

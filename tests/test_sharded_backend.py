@@ -50,7 +50,9 @@ class TestDiskannShardedRelayout:
         for text, md in tiny_corpus * 2:
             b.add_text(text, metadata=md)
         b.build_index(idx)
-        assign = np.load(idx + ".partition.npy")
+        from leann_tpu.storage import load_partition
+
+        assign = load_partition(idx)
         assert (np.diff(assign) >= 0).all(), "relayout must make partitions contiguous"
 
         plain = LeannSearcher(idx)

@@ -1,0 +1,187 @@
+"""Storage v2 (leann_tpu/storage.py): packed neighbors, seq ids, partition
+counts, derivable token cache, and the repack migration.
+
+The round-2 DPR-scale index was 552 MB vs the reference's 324 MB
+(/root/reference/README.md:686); these encodings close that gap without
+changing a single search result."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from leann_tpu.storage import (
+    index_all_in_bytes,
+    load_ids,
+    load_partition,
+    load_token_cache,
+    pack_neighbors,
+    save_ids,
+    save_partition,
+    unpack_neighbors,
+)
+
+
+class TestPackNeighbors:
+    def test_roundtrip_valid_sets(self):
+        rng = np.random.default_rng(0)
+        n, r = 5000, 16
+        nbr = rng.integers(0, n, size=(n, r)).astype(np.int32)
+        # random -1 padding tails
+        lens = rng.integers(0, r + 1, size=n)
+        for i in range(n):
+            nbr[i, lens[i]:] = -1
+        z = pack_neighbors(nbr)
+        out = unpack_neighbors(z)
+        assert out.dtype == np.int32 and out.shape == (n, r)
+        for i in range(0, n, 97):
+            assert set(out[i][out[i] >= 0]) == set(nbr[i][nbr[i] >= 0])
+            assert (out[i][out[i] >= 0] < n).all()
+        # rows come back sorted with padding at the end
+        valid = out >= 0
+        assert (np.diff(np.where(valid, out, np.iinfo(np.int32).max), axis=1) >= 0).all()
+
+    def test_compresses_below_raw(self):
+        rng = np.random.default_rng(1)
+        nbr = rng.integers(0, 200_000, size=(200_000, 32)).astype(np.int32)
+        z = pack_neighbors(nbr)
+        assert z["neighbors_packed"].nbytes < 0.6 * nbr.nbytes
+
+    def test_legacy_raw_fallback(self):
+        nbr = np.array([[1, 2, -1], [0, -1, -1]], np.int32)
+        assert (unpack_neighbors({"neighbors": nbr}) == nbr).all()
+
+    def test_all_padding_row(self):
+        nbr = np.full((4, 3), -1, np.int32)
+        nbr[0] = [2, 1, 3]
+        out = unpack_neighbors(pack_neighbors(nbr))
+        assert (out[1:] == -1).all()
+        assert list(out[0]) == [1, 2, 3]
+
+
+class TestIds:
+    def test_sequential_collapses(self, tmp_path):
+        p = str(tmp_path / "x.leann")
+        ids = [str(i) for i in range(1000)]
+        save_ids(p, ids)
+        assert os.path.getsize(p + ".ids.json") < 100
+        assert load_ids(p) == ids
+
+    def test_non_sequential_stays_list(self, tmp_path):
+        p = str(tmp_path / "x.leann")
+        ids = ["a", "b", "7"]
+        save_ids(p, ids)
+        assert load_ids(p) == ids
+        assert isinstance(json.load(open(p + ".ids.json")), list)
+
+    def test_missing(self, tmp_path):
+        assert load_ids(str(tmp_path / "nope")) == []
+
+
+class TestPartition:
+    def test_step_function_to_counts(self, tmp_path):
+        p = str(tmp_path / "x.leann")
+        assign = np.repeat(np.arange(4, dtype=np.int32), [10, 0, 5, 7])
+        save_partition(p, assign)
+        assert os.path.exists(p + ".partition.npz")
+        assert not os.path.exists(p + ".partition.npy")
+        assert (load_partition(p) == assign).all()
+
+    def test_unsorted_falls_back_to_raw(self, tmp_path):
+        p = str(tmp_path / "x.leann")
+        assign = np.array([1, 0, 2, 1], np.int32)
+        save_partition(p, assign)
+        assert os.path.exists(p + ".partition.npy")
+        assert (load_partition(p) == assign).all()
+
+    def test_missing(self, tmp_path):
+        assert load_partition(str(tmp_path / "nope")) is None
+
+
+@pytest.fixture(scope="module")
+def small_index(tmp_path_factory):
+    from leann_tpu import LeannBuilder
+
+    rng = np.random.default_rng(3)
+    texts = [f"doc {i} " + " ".join(f"w{rng.integers(0, 300)}" for _ in range(10))
+             for i in range(200)]
+    prefix = str(tmp_path_factory.mktemp("sv2") / "s.leann")
+    b = LeannBuilder(backend_name="diskann", embedding_model="hash-tiny",
+                     max_length=32, graph_degree=8)
+    for t in texts:
+        b.add_text(t)
+    b.build_index(prefix)
+    return prefix, texts
+
+
+class TestTokenCacheDerivation:
+    def test_cache_written_and_excluded_from_accounting(self, small_index):
+        prefix, _ = small_index
+        assert os.path.exists(f"{prefix}.tokens.cache.npz")
+        d, base = os.path.dirname(prefix), os.path.basename(prefix)
+        counted = index_all_in_bytes(prefix)
+        all_bytes = sum(os.path.getsize(os.path.join(d, f))
+                        for f in os.listdir(d) if f.startswith(base))
+        assert counted < all_bytes  # cache + passages excluded
+
+    def test_deleted_cache_rederives_identical_results(self, small_index):
+        from leann_tpu import LeannSearcher
+
+        prefix, texts = small_index
+        s1 = LeannSearcher(prefix)
+        r1 = [r.id for r in s1.search(texts[17], top_k=3, complexity=32)]
+        tok1, len1 = load_token_cache(prefix)
+        tok1 = np.asarray(tok1).copy()
+        os.remove(f"{prefix}.tokens.cache.npz")
+        s2 = LeannSearcher(prefix)  # must re-derive from passages.jsonl
+        r2 = [r.id for r in s2.search(texts[17], top_k=3, complexity=32)]
+        assert r1 == r2
+        assert os.path.exists(f"{prefix}.tokens.cache.npz")  # cache rebuilt
+        tok2, len2 = load_token_cache(prefix)
+        assert (np.asarray(tok2) == tok1).all()
+        assert (np.asarray(len2) == np.asarray(len1)).all()
+
+
+class TestRepack:
+    def test_legacy_index_repacks_smaller_same_results(self, tmp_path):
+        """Write a legacy-format index by hand-downgrading a fresh one, then
+        repack and assert identical search results at fewer bytes."""
+        from leann_tpu import LeannBuilder, LeannSearcher
+        from leann_tpu.repack import repack_index
+
+        rng = np.random.default_rng(4)
+        texts = [f"item {i} " + " ".join(f"t{rng.integers(0, 100)}" for _ in range(8))
+                 for i in range(150)]
+        prefix = str(tmp_path / "r.leann")
+        b = LeannBuilder(backend_name="diskann", embedding_model="hash-tiny",
+                         max_length=32, graph_degree=8)
+        for t in texts:
+            b.add_text(t)
+        b.build_index(prefix)
+
+        # downgrade: raw neighbors, list ids, legacy token names, raw partition
+        z = dict(np.load(f"{prefix}.diskann.npz", allow_pickle=False))
+        nbr = unpack_neighbors(z)
+        for k in ("neighbors_packed", "neighbors_n", "neighbors_r"):
+            z.pop(k)
+        z["neighbors"] = nbr
+        np.savez(f"{prefix}.diskann.npz", **z)
+        json.dump([str(i) for i in range(len(texts))], open(f"{prefix}.ids.json", "w"))
+        os.rename(f"{prefix}.tokens.cache.npz", f"{prefix}.tokens.npz")
+        part = load_partition(prefix)
+        if part is not None:
+            np.save(f"{prefix}.partition.npy", part)
+            if os.path.exists(f"{prefix}.partition.npz"):
+                os.remove(f"{prefix}.partition.npz")
+
+        before = index_all_in_bytes(prefix)
+        r_before = [r.id for r in LeannSearcher(prefix).search(texts[42], top_k=3, complexity=32)]
+        rep = repack_index(prefix)
+        assert rep["after_bytes"] < before
+        assert not os.path.exists(f"{prefix}.tokens.npz")
+        r_after = [r.id for r in LeannSearcher(prefix).search(texts[42], top_k=3, complexity=32)]
+        assert r_before == r_after
+        # idempotent
+        rep2 = repack_index(prefix)
+        assert rep2["after_bytes"] == rep["after_bytes"]
