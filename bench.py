@@ -160,6 +160,39 @@ def ensure_tier2():
     return prefix, queries, truth
 
 
+def ensure_tier2_perturbed(prefix):
+    """Held-out perturbed queries + their exact oracle for the 100K tier
+    (second protocol next to chunk prefixes — VERDICT r2 #2/#3). Cached next
+    to the index; one encode of the corpus on first run."""
+    from bench_common import make_queries
+
+    from leann_tpu.embeddings.encoder import get_encoder
+
+    tier_dir = os.path.dirname(prefix)
+    qp = os.path.join(tier_dir, "queries_perturbed.json")
+    tp = os.path.join(tier_dir, "truth_perturbed.npy")
+    if os.path.exists(qp) and os.path.exists(tp):
+        return json.load(open(qp)), np.load(tp)
+    from scale_500k import synth_corpus
+
+    rng = np.random.default_rng(0)
+    chunks = synth_corpus(TIER2_N, rng)
+    queries, _ = make_queries(chunks, 64, seed=7, mode="perturbed")
+    metric = json.load(open(prefix + ".meta.json"))["distance_metric"]
+    enc = get_encoder(TIER2_MODEL, max_length=128)
+    t0 = time.time()
+    emb = enc.encode(chunks)
+    qe = enc.encode(queries)
+    if metric == "cosine":
+        emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        qe /= np.maximum(np.linalg.norm(qe, axis=1, keepdims=True), 1e-12)
+    truth = np.argsort(-qe @ emb.T, axis=1)[:, :3].astype(np.int32)
+    log(f"tier2 perturbed oracle computed in {time.time()-t0:.0f}s")
+    json.dump(queries, open(qp, "w"))
+    np.save(tp, truth)
+    return queries, truth
+
+
 def measure_tier2():
     from leann_tpu import LeannSearcher
 
@@ -189,6 +222,12 @@ def measure_tier2():
     batched_ms = (time.time() - t0) * 1000 / len(queries)
     labels_b = [[int(r.id) for r in row] for row in res_b]
 
+    # second protocol: held-out perturbed queries (no verbatim-prefix tie)
+    pq, ptruth = ensure_tier2_perturbed(prefix)
+    s.search(pq, **kw_b)  # separate batch content, same compiled program
+    res_p = s.search(pq, **kw_b)
+    labels_p = [[int(r.id) for r in row] for row in res_p]
+
     idx_bytes = index_all_in_bytes(prefix)
     flat_bytes = TIER2_N * 768 * 4
     return {
@@ -197,6 +236,7 @@ def measure_tier2():
         "p50_wall_ms_100k": round(p50, 2),
         "recall_at_3_100k": round(recall_against(truth[:32], labels), 4),
         "batched_recall_at_3_100k": round(recall_against(truth, labels_b), 4),
+        "perturbed_recall_at_3_100k": round(recall_against(ptruth, labels_p), 4),
         "index_bytes_100k": idx_bytes,
         "flat_baseline_bytes_100k": flat_bytes,
         "storage_savings": round(1 - idx_bytes / flat_bytes, 3),
@@ -210,11 +250,12 @@ def measure_tier2():
 def measure_dpr21m():
     """Recall/latency on the cached 2.1M-chunk R=32 diskann index (the
     reference's DPR eval scale, configuration-guide.md:92 '95%+ recall').
-    Skipped when the cache is absent (fresh machine) — the index costs ~60
-    min to build; rebuild resumably (phase checkpoints survive kills) with
-    `python benchmarks/scale_10m.py --n-chunks 2100000 --graph-degree 32
-    --out-dir ~/.cache/leann_tpu_bench/dpr21m_r32`; queries and oracle
-    reproduce deterministically from the same seed."""
+    Skipped when the cache is absent (fresh machine) — the rebuild is ~33-35
+    min end-to-end (measured fresh-machine, docs/roadmap.md; worst case ~60
+    min cold with no AOT overlap) and resumable (phase checkpoints survive
+    kills): `python benchmarks/scale_10m.py --n-chunks 2100000
+    --graph-degree 32 --out-dir ~/.cache/leann_tpu_bench/dpr21m_r32`;
+    queries and oracle reproduce deterministically from the same seed."""
     if os.environ.get("LEANN_BENCH_DPR", "1") != "1":
         return {}
     tier = os.path.join(CACHE_DIR, "dpr21m_r32")
@@ -223,10 +264,16 @@ def measure_dpr21m():
     # writes big10m.leann
     prefix = ""
     if os.path.isdir(tier):
-        for f in sorted(os.listdir(tier)):
-            if f.endswith(".leann.meta.json"):
-                prefix = os.path.join(tier, f[: -len(".meta.json")])
-                break
+        metas = [f for f in os.listdir(tier) if f.endswith(".leann.meta.json")]
+        if len(metas) > 1:
+            # a leftover partial build alongside a fresh rebuild: benching the
+            # alphabetically-first one against the newer truth.npy would be
+            # silent garbage — take the newest meta and say so
+            metas.sort(key=lambda f: os.path.getmtime(os.path.join(tier, f)), reverse=True)
+            log(f"dpr21m: {len(metas)} meta files in tier dir, using newest {metas[0]} "
+                f"(others: {metas[1:]})")
+        if metas:
+            prefix = os.path.join(tier, metas[0][: -len(".meta.json")])
     tpath = os.path.join(tier, "truth.npy")
     if not (prefix and os.path.exists(tpath)):
         log("dpr21m tier skipped: no cached index")
@@ -242,8 +289,48 @@ def measure_dpr21m():
     q_idx = rng.choice(len(chunks), 64, replace=False)
     queries = [" ".join(chunks[i].split()[:12]) for i in q_idx]
     del chunks
+    qpath = os.path.join(tier, "queries.json")
+    if os.path.exists(qpath):
+        saved = json.load(open(qpath))
+        if saved != queries:
+            # truth.npy rows came from a different rng draw (e.g. a rebuild
+            # with a non-default --n-queries) — recall vs these queries would
+            # be silently wrong
+            raise RuntimeError(
+                f"dpr21m: saved queries.json ({len(saved)} queries) does not match "
+                f"the regenerated default draw ({len(queries)}); rebuild the tier "
+                "with default --n-queries or delete the stale tier dir")
     truth = np.load(tpath)
     log(f"dpr21m queries regenerated in {time.time()-t0:.0f}s")
+
+    # held-out perturbed protocol: oracle from the persisted normalized
+    # embedding matrix (host-blocked matmul; cached after first run)
+    pq, ptruth = [], None
+    emb_path = os.path.join(tier, "emb_norm.npy")
+    ptp = os.path.join(tier, "truth_perturbed.npy")
+    pqp = os.path.join(tier, "queries_perturbed.json")
+    if os.path.exists(emb_path):
+        from bench_common import make_queries
+
+        chunks = synth_corpus(n, np.random.default_rng(0))
+        pq, _ = make_queries(chunks, 64, seed=7, mode="perturbed")
+        del chunks
+        if os.path.exists(ptp) and os.path.exists(pqp) and json.load(open(pqp)) == pq:
+            ptruth = np.load(ptp)
+        else:
+            from scale_10m import host_oracle
+
+            from leann_tpu.embeddings.encoder import get_encoder
+
+            meta = json.load(open(prefix + ".meta.json"))
+            enc = get_encoder(meta["embedding_model"], max_length=meta.get("max_length", 64))
+            qv = enc.encode(pq)
+            qv /= np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
+            t0 = time.time()
+            ptruth = host_oracle(np.load(emb_path, mmap_mode="r"), qv, 3)
+            log(f"dpr21m perturbed oracle computed in {time.time()-t0:.0f}s")
+            np.save(ptp, ptruth)
+            json.dump(pq, open(pqp, "w"))
 
     s = LeannSearcher(prefix)
     # operating point from the r2 sweep: recall@3 0.953 @ p50 57 ms (R=32)
@@ -259,9 +346,15 @@ def measure_dpr21m():
     res_b = s.search(queries, **kw)
     batched_ms = (time.time() - t0) * 1000 / len(queries)
     labels_b = [[int(r.id) for r in row] for row in res_b]
+    extra = {}
+    if ptruth is not None:
+        res_p = s.search(pq, **kw)
+        labels_p = [[int(r.id) for r in row] for row in res_p]
+        extra["perturbed_recall_at_3_dpr21m"] = round(recall_against(ptruth, labels_p), 4)
     return {
         "n_chunks_dpr": n,
         "recall_at_3_dpr21m": round(recall_against(truth, labels_b), 4),
+        **extra,
         "p50_wall_ms_dpr21m": round(float(np.percentile(lat, 50)), 2),
         "batched_ms_per_query_dpr21m": round(batched_ms, 2),
         "index_bytes_dpr21m": index_all_in_bytes(prefix),

@@ -32,10 +32,49 @@ def load_corpus(n_chunks: int = 1000, min_len: int = 60):
     return [" ".join(rng.choice(words, 40)) for _ in range(n_chunks)]
 
 
-def make_queries(chunks, n_queries=32, seed=0, n_words=12):
+def perturb_words(words, rng, vocab):
+    """Held-out query perturbation: word dropout (p=.25), adjacent swaps
+    (p=.2), and random-vocab substitution (p=.1). Breaks the verbatim-prefix
+    tie to exactly one chunk, so recall measures semantic retrieval instead
+    of near-duplicate disambiguation — the failure mode of prefix queries at
+    10M+ scale (VERDICT r2 #2; the reference evaluates natural NQ-open
+    questions, /root/reference/benchmarks/run_evaluation.py:196-199)."""
+    kept = [w for w in words if rng.random() >= 0.25]
+    if not kept:
+        kept = list(words[:1])
+    i = 0
+    while i + 1 < len(kept):
+        if rng.random() < 0.2:
+            kept[i], kept[i + 1] = kept[i + 1], kept[i]
+            i += 2
+        else:
+            i += 1
+    for j in range(len(kept)):
+        if rng.random() < 0.1:
+            kept[j] = vocab[rng.integers(0, len(vocab))]
+    return kept
+
+
+def make_queries(chunks, n_queries=32, seed=0, n_words=12, mode="prefix"):
+    """mode='prefix': verbatim n_words-word chunk prefixes (the optimistic
+    self-retrieval protocol). mode='perturbed': dropout/reorder/substitution
+    over a 2x window, truncated to n_words — queries no longer share a
+    verbatim prefix with their source chunk."""
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(chunks), min(n_queries, len(chunks)), replace=False)
-    return [" ".join(chunks[i].split()[:n_words]) for i in idx], idx
+    if mode == "prefix":
+        return [" ".join(chunks[i].split()[:n_words]) for i in idx], idx
+    if mode != "perturbed":
+        raise ValueError(f"unknown query mode {mode!r}")
+    # substitution vocabulary from a fixed sample of the corpus itself
+    vocab = []
+    for i in rng.choice(len(chunks), min(200, len(chunks)), replace=False):
+        vocab.extend(chunks[i].split()[:20])
+    queries = []
+    for i in idx:
+        words = chunks[i].split()[: 2 * n_words]
+        queries.append(" ".join(perturb_words(words, rng, vocab)[:n_words]))
+    return queries, idx
 
 
 def ground_truth(enc, chunks, queries, k, metric="cosine"):

@@ -37,10 +37,13 @@ def main():
     ap.add_argument("--max-length", type=int, default=128)
     ap.add_argument("--graph-degree", type=int, default=16)
     ap.add_argument("--index-dir", default=None, help="reuse/build index here instead of a temp dir")
+    ap.add_argument("--query-mode", default="prefix", choices=["prefix", "perturbed"],
+                    help="prefix: verbatim chunk prefixes (self-retrieval); perturbed: "
+                         "held-out dropout/reorder/substitution queries (bench_common.py)")
     args = ap.parse_args()
 
     chunks = load_corpus(args.n_chunks)
-    queries, _ = make_queries(chunks, args.n_queries)
+    queries, _ = make_queries(chunks, args.n_queries, mode=args.query_mode)
     enc = get_encoder(args.embedding_model, max_length=args.max_length)
     truth = ground_truth(enc, chunks, queries, args.top_k)
 
@@ -64,7 +67,8 @@ def main():
                      "p50_ms": round(r["p50_ms"], 2), "p90_ms": round(r["p90_ms"], 2)})
         print(f"complexity={comp:4d}  recall@{args.top_k}={rec:.4f}  "
               f"p50={r['p50_ms']:.1f}ms  p90={r['p90_ms']:.1f}ms")
-    print(json.dumps({"backend": args.backend, "n_chunks": len(chunks), "results": rows}))
+    print(json.dumps({"backend": args.backend, "n_chunks": len(chunks),
+                      "query_mode": args.query_mode, "results": rows}))
 
 
 if __name__ == "__main__":

@@ -498,7 +498,10 @@ class LeannSearcher:
         top_k: int = 5,
         complexity: int = 64,
         beam_width: int = 1,
-        prune_ratio: float = 0.0,
+        # None = backend default: hnsw auto-applies the PQ screen when an
+        # unpruned recompute would hit the >15-min cold-compile cliff
+        # (backends/hnsw/backend.py AUTO_PRUNE_*); 0.0 = really unpruned
+        prune_ratio: "float | None" = None,
         recompute_embeddings: Optional[bool] = None,
         pruning_strategy: str = "global",
         metadata_filters: Optional[Dict[str, Dict[str, Any]]] = None,

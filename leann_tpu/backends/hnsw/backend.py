@@ -55,6 +55,16 @@ logger = logging.getLogger(__name__)
 N_ENTRY_POINTS = 16
 ENTRY_POOL_SIZE = 4096
 
+# auto-prune guard (prune_ratio=None): unpruned per-hop recompute re-encodes
+# all beam*R candidates every hop — at high complexity the fused program
+# cold-compiles for >15 minutes. When the caller didn't choose, and the
+# search is big enough to hit that cliff, default to the PQ screen instead of
+# documenting around the landmine. Explicit prune_ratio=0.0 still means
+# "really unpruned".
+AUTO_PRUNE_RATIO = 0.75
+AUTO_PRUNE_MIN_N = 50_000
+AUTO_PRUNE_MIN_COMPLEXITY = 256
+
 
 def _entry_points(medoid: int, n: int, count: int = N_ENTRY_POINTS) -> np.ndarray:
     """Medoid + strided sample of starting points."""
@@ -256,7 +266,7 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
         top_k: int,
         complexity: int,
         beam_width: int,
-        prune_ratio: float,
+        prune_ratio: "float | None",
         recompute_embeddings: bool,
         pruning_strategy: str,
         batch_size: int,
@@ -264,6 +274,17 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
         need_encoder: bool = False,
     ):
         l = max(complexity, top_k, beam_width)
+        if prune_ratio is None:
+            prune_ratio = 0.0
+            if recompute_embeddings and self.has_pq and (
+                self.n >= AUTO_PRUNE_MIN_N or l >= AUTO_PRUNE_MIN_COMPLEXITY
+            ):
+                prune_ratio = AUTO_PRUNE_RATIO
+                logger.info(
+                    "hnsw auto-prune: prune_ratio=%.2f (N=%d, L=%d; pass "
+                    "prune_ratio=0.0 explicitly for truly unpruned recompute)",
+                    prune_ratio, self.n, l,
+                )
         beam = max(1, min(beam_width, l))
         f = beam * int(self.neighbors.shape[1])
         enc_params = None
@@ -316,7 +337,7 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
         *,
         complexity: int = 64,
         beam_width: int = 4,
-        prune_ratio: float = 0.0,
+        prune_ratio: "float | None" = None,
         recompute_embeddings: bool = True,
         pruning_strategy: str = "global",
         batch_size: int = 0,
@@ -358,7 +379,7 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
         *,
         complexity: int = 64,
         beam_width: int = 4,
-        prune_ratio: float = 0.0,
+        prune_ratio: "float | None" = None,
         recompute_embeddings: bool = True,
         pruning_strategy: str = "global",
         batch_size: int = 0,

@@ -124,7 +124,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--top-k", type=int, default=5)
     s.add_argument("--complexity", type=int, default=64)
     s.add_argument("--beam-width", type=int, default=8)
-    s.add_argument("--prune-ratio", type=float, default=0.0)
+    # default None = backend auto (hnsw applies the PQ screen when unpruned
+    # recompute would cold-compile for >15 min); pass 0.0 for truly unpruned
+    s.add_argument("--prune-ratio", type=float, default=None)
     s.add_argument("--recompute-embeddings", action=argparse.BooleanOptionalAction, default=None)
     s.add_argument("--pruning-strategy", default="global", choices=["global", "local", "proportional"])
     s.add_argument("--adaptive-steps", type=int, default=0,

@@ -298,6 +298,27 @@ class TestHnswBackendE2E:
         assert len(res) == 3
         assert any("jupiter" in r.text or "planet" in r.text for r in res)
 
+    def test_auto_prune_guard(self, tiny_corpus, tmp_path):
+        """prune_ratio=None at high complexity auto-applies the PQ screen
+        (the unpruned-recompute cold-compile cliff); explicit 0.0 stays
+        unpruned."""
+        from leann_tpu import LeannBuilder
+        from leann_tpu.backends.hnsw.backend import HnswSearcher
+
+        idx = str(tmp_path / "ap.leann")
+        b = LeannBuilder(backend_name="hnsw", embedding_model="hash-tiny", embedding_mode="tpu",
+                         max_length=64, M=4)
+        for text, md in tiny_corpus:
+            b.add_text(text, metadata=md)
+        b.build_index(idx)
+        s = HnswSearcher(idx)
+        auto, _ = s._make_cfg(3, 256, 4, None, True, "global", 0)
+        assert auto.prune_keep > 0
+        explicit, _ = s._make_cfg(3, 256, 4, 0.0, True, "global", 0)
+        assert explicit.prune_keep == 0
+        small, _ = s._make_cfg(3, 32, 4, None, True, "global", 0)
+        assert small.prune_keep == 0  # small search: no auto screen
+
     def test_compact_without_recompute_errors(self, tiny_corpus, tmp_path):
         from leann_tpu import LeannBuilder, LeannSearcher
 
