@@ -249,6 +249,7 @@ class LeannBuilder:
         Path(prefix).parent.mkdir(parents=True, exist_ok=True)
 
         texts = [c["text"] for c in chunks]
+        self._maybe_calibrate(texts, prefix)
         t = time.time()
         embeddings = self._embed(texts)
         logger.info("build phase embed: %d chunks in %.1fs", len(texts), time.time() - t)
@@ -388,6 +389,22 @@ class LeannBuilder:
             self._maybe_write_tokens(list(texts), prefix)
         self._backend_build(embeddings, [str(i) for i in ids], prefix)
         self._write_meta(prefix, [source], n=len(ids))
+
+    def _maybe_calibrate(self, texts: List[str], prefix: str) -> None:
+        """Corpus calibration for loaded-HF-checkpoint encoders (all-but-the-
+        top over a corpus sample, encoder.py JaxEncoder.calibrate). The
+        calibration is persisted next to the index so query-time encoders
+        apply the exact same transform; hash-* models keep their seeded probe
+        center and are untouched."""
+        if self.embedding_mode not in ("tpu", "jax", "sentence-transformers", "hf", "mlx"):
+            return
+        from .embeddings.encoder import get_encoder
+
+        enc = get_encoder(self.embedding_model, max_length=self.max_length)
+        if not enc.needs_corpus_calibration:
+            return
+        calib = enc.calibrate(texts)
+        np.savez(f"{prefix}.calib.npz", **calib)
 
     def _maybe_write_tokens(self, texts: List[str], prefix: str) -> None:
         """Tokenize passages for on-device recompute. Stored as uint16 when
@@ -540,8 +557,12 @@ class LeannSearcher:
             if single:
                 q = self.backend.compute_query_embedding(query)
             elif is_text:
-                q = compute_embeddings(list(query), self.embedding_model, mode=self.embedding_mode,
-                                       max_length=self.meta.get("max_length", 256))
+                get_enc = getattr(self.backend, "get_encoder", None)
+                if get_enc is not None and self.embedding_mode in ("tpu", "jax", "sentence-transformers", "hf", "mlx"):
+                    q = get_enc().encode(list(query))  # index-calibrated encoder
+                else:
+                    q = compute_embeddings(list(query), self.embedding_model, mode=self.embedding_mode,
+                                           max_length=self.meta.get("max_length", 256))
             else:
                 q = np.ascontiguousarray(query, dtype=np.float32)
                 if q.ndim == 1:

@@ -65,7 +65,29 @@ class BaseSearcher:
         self.dim = meta.get("dimensions")
         self.id_list: List[str] = load_ids(index_path)
 
+    def get_encoder(self):
+        """The index's query/recompute encoder — the process-cached one, with
+        this index's corpus calibration applied (a copy; <prefix>.calib.npz
+        is written by builds over loaded HF checkpoints, see
+        api.LeannBuilder._maybe_calibrate). Search-time params must match the
+        build-time geometry exactly."""
+        if getattr(self, "_calibrated_enc", None) is not None:
+            return self._calibrated_enc
+        import os
+
+        from ..embeddings.encoder import get_encoder
+
+        enc = get_encoder(self.embedding_model, max_length=self.max_length)
+        calib_path = f"{self.index_path}.calib.npz"
+        if os.path.exists(calib_path):
+            z = np.load(calib_path)
+            enc = enc.with_calibration({"out_center": z["out_center"], "out_pc": z["out_pc"]})
+        self._calibrated_enc = enc
+        return enc
+
     def compute_query_embedding(self, query: str, **kwargs) -> np.ndarray:
+        if self.embedding_mode in ("tpu", "jax", "sentence-transformers", "hf", "mlx"):
+            return self.get_encoder().encode([query])
         emb = compute_embeddings(
             [query], self.embedding_model, mode=self.embedding_mode, max_length=self.max_length,
             **({"dim": self.dim} if (self.dim and self.embedding_mode == "simulated") else {}),

@@ -285,9 +285,9 @@ class DiskannSearcher(BaseSearcher, LeannBackendSearcherInterface):
 
     def _encoder(self):
         if self._enc is None:
-            from ...embeddings.encoder import get_encoder
-
-            self._enc = get_encoder(self.embedding_model, max_length=self.max_length)
+            # calibrated for this index when <prefix>.calib.npz exists
+            # (BaseSearcher.get_encoder)
+            self._enc = self.get_encoder()
         return self._enc
 
     def search(

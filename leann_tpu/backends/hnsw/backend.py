@@ -244,9 +244,9 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
 
     def _encoder(self):
         if self._enc is None:
-            from ...embeddings.encoder import get_encoder
-
-            self._enc = get_encoder(self.embedding_model, max_length=self.max_length)
+            # calibrated for this index when <prefix>.calib.npz exists
+            # (BaseSearcher.get_encoder)
+            self._enc = self.get_encoder()
         return self._enc
 
     def _graph_data(self) -> GraphData:

@@ -203,6 +203,15 @@ def encode_tokens(params: Dict, ids: jnp.ndarray, mask: jnp.ndarray, cfg: Encode
     pooled = jnp.sum(x.astype(jnp.float32) * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
     if cfg.center and "out_center" in params:
         pooled = pooled - params["out_center"]
+        if "out_pc" in params:
+            # all-but-the-top: remove the top principal directions of the
+            # (corpus-calibrated) output distribution. Random-init BERT
+            # checkpoints collapse every input to bulk cos ~0.97-0.99 — a
+            # mean subtraction alone leaves the next few components still
+            # dominating every margin (measured: bench-bert bulk cos 0.973
+            # after mean-centering; see JaxEncoder.calibrate).
+            pc = params["out_pc"]  # [D, k]
+            pooled = pooled - (pooled @ pc) @ pc.T
     if cfg.normalize:
         pooled = pooled / jnp.maximum(jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12)
     return pooled
@@ -241,9 +250,62 @@ class JaxEncoder:
         if max_length is not None and max_length != self.cfg.max_len:
             self.cfg = replace(self.cfg, max_len=max_length)
         self.model_name = model_name
+        self.loaded_hf = False  # set by _load_or_init on a local-checkpoint load
         self.tokenizer = get_tokenizer(model_name, vocab_size=self.cfg.vocab_size, max_length=self.cfg.max_len)
         self.params = params if params is not None else self._load_or_init(model_name)
         self._jit = functools.partial(jax.jit, static_argnames=("cfg",))(encode_tokens)
+
+    @property
+    def needs_corpus_calibration(self) -> bool:
+        """Loaded HF checkpoints get corpus-based all-but-the-top calibration
+        (JaxEncoder.calibrate): the seeded-probe center used for hash-*
+        models does not match a real checkpoint's text distribution, and
+        mean-removal alone leaves BERT-family outputs near-collinear."""
+        return self.loaded_hf and self.cfg.center
+
+    def calibrate(self, texts: Sequence[str], n_components: int = 8) -> Dict[str, np.ndarray]:
+        """Corpus calibration: mean + top principal components of the RAW
+        pooled outputs over a sample of the corpus being indexed
+        (all-but-the-top, Mu & Viswanath 2018). Deterministic given (weights,
+        texts). Mutates this encoder's params and returns the calibration
+        arrays so the builder can persist them (<prefix>.calib.npz) for
+        query-time parity."""
+        sample = list(texts[:256])
+        raw_cfg = replace(self.cfg, center=False, normalize=False)
+        saved = self.params
+        out = []
+        for s in range(0, len(sample), 128):
+            ids, mask = self.tokenize(sample[s : s + 128])
+            out.append(np.asarray(self._jit(saved, jnp.asarray(ids), jnp.asarray(mask), cfg=raw_cfg)))
+        pooled = np.concatenate(out).astype(np.float64)
+        mean = pooled.mean(axis=0)
+        centered = pooled - mean
+        k = max(0, min(n_components, centered.shape[0] - 1, self.cfg.dim - 1))
+        _, svals, vt = np.linalg.svd(centered, full_matrices=False)
+        calib = {
+            "out_center": mean.astype(np.float32),
+            "out_pc": np.ascontiguousarray(vt[:k].T).astype(np.float32),  # [D, k]
+        }
+        self.apply_calibration(calib)
+        logger.info("corpus calibration: %d samples, removed mean + %d PCs "
+                    "(top sv %.2f / residual %.2f)", len(sample), k,
+                    float(svals[0]) if k else 0.0, float(svals[k:].mean()) if k < len(svals) else 0.0)
+        return calib
+
+    def apply_calibration(self, calib: Dict[str, np.ndarray]) -> None:
+        self.params = dict(self.params)
+        self.params["out_center"] = jnp.asarray(calib["out_center"])
+        self.params["out_pc"] = jnp.asarray(calib["out_pc"])
+
+    def with_calibration(self, calib: Dict[str, np.ndarray]) -> "JaxEncoder":
+        """A calibrated COPY sharing weights — the process-wide encoder cache
+        stays pristine (two indexes over the same checkpoint may carry
+        different corpus calibrations)."""
+        import copy
+
+        enc = copy.copy(self)
+        enc.apply_calibration(calib)
+        return enc
 
     def _load_or_init(self, model_name: str) -> Dict:
         import os
@@ -252,6 +314,9 @@ class JaxEncoder:
             try:
                 params, cfg = load_hf_weights(model_name)
                 self.cfg = replace(cfg, max_len=self.cfg.max_len)
+                if self.cfg.center:
+                    params["out_center"] = _compute_out_center(params, self.cfg)
+                self.loaded_hf = True
                 logger.info("loaded local HF weights from %s", model_name)
                 return params
             except Exception as e:
@@ -318,6 +383,13 @@ def load_hf_weights(path: str) -> Tuple[Dict, EncoderConfig]:
         max_len=min(hf.get("max_position_embeddings", 512), 512),
         arch="bert",
         normalize=True,
+        # all-but-the-top anisotropy removal for loaded checkpoints too: a
+        # BERT-family masked-mean embedding has a dominant mean direction
+        # (extreme for random-init, present even in trained models), which
+        # compresses cosine margins into ties exactly like the hash-* family
+        # without centering. Build and search share the same deterministic
+        # center vector (VERDICT r2 #5: hf recall 0.8542 vs 0.99 hash).
+        center=True,
     )
     model = AutoModel.from_pretrained(path, local_files_only=True)
     sd = {k: np.asarray(v.detach().cpu().to(torch.float32)) for k, v in model.state_dict().items()}

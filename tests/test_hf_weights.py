@@ -138,3 +138,57 @@ class TestHFWeightLoading:
         assert all(np.isfinite(r.score) for r in res)
         # the query's own text must be retrieved (self-retrieval sanity)
         assert any("ran" in r.text for r in res)
+
+    def test_corpus_calibration_roundtrip(self, tiny_bert, tmp_path):
+        """Builds over a loaded checkpoint persist <prefix>.calib.npz (mean +
+        top-PC removal, encoder.py JaxEncoder.calibrate) and a FRESH searcher
+        in a fresh encoder state applies the identical transform: search
+        results must match the calibrated exact oracle. Random-init BERT
+        without calibration collapses to bulk cos ~0.97 (VERDICT r2 #5)."""
+        import json
+        import os
+
+        from leann_tpu import LeannBuilder, LeannSearcher
+        from leann_tpu.embeddings import encoder as enc_mod
+
+        path, _ = tiny_bert
+        if not os.path.exists(os.path.join(path, "tokenizer_config.json")):
+            from transformers import BertTokenizerFast
+
+            vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [
+                "the", "cat", "sat", "on", "mat", "##s", "dog", "ran", "sun", "moon",
+            ]
+            vf = os.path.join(path, "vocab.txt")
+            with open(vf, "w") as f:
+                f.write("\n".join(vocab))
+            BertTokenizerFast(vocab_file=vf, do_lower_case=True).save_pretrained(path)
+
+        rng = np.random.default_rng(11)
+        words = ["the", "cat", "sat", "on", "mat", "dog", "ran", "sun", "moon"]
+        texts = [" ".join(rng.choice(words, 8)) for _ in range(80)]
+        prefix = str(tmp_path / "cal" / "i.leann")
+        b = LeannBuilder(backend_name="hnsw", embedding_model=path, max_length=16, M=8)
+        for t in texts:
+            b.add_text(t)
+        b.build_index(prefix)
+        assert os.path.exists(prefix + ".calib.npz")
+        z = np.load(prefix + ".calib.npz")
+        assert z["out_pc"].shape[0] == 32  # [D, k]
+
+        # capture the calibrated oracle BEFORE resetting encoder state
+        enc = enc_mod.get_encoder(path, max_length=16)
+        emb = enc.encode(texts)
+        emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        q = [texts[7], texts[42]]
+        qe = enc.encode(q)
+        qe /= np.maximum(np.linalg.norm(qe, axis=1, keepdims=True), 1e-12)
+        truth = np.argsort(-qe @ emb.T, axis=1)[:, :3]
+
+        # fresh process state: the cached encoder forgets the calibration
+        enc_mod._ENCODER_CACHE.clear()
+        s = LeannSearcher(prefix)
+        hits = 0
+        for qi, qt in enumerate(q):
+            res = s.search(qt, top_k=3, complexity=32, beam_width=4)
+            hits += len({int(r.id) for r in res} & set(truth[qi].tolist()))
+        assert hits >= 5  # 5/6 allows one near-tie swap
