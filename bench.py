@@ -198,9 +198,12 @@ def measure_tier2():
 
     prefix, queries, truth = ensure_tier2()
     s = LeannSearcher(prefix)
-    # cx512/beam16 from the r2 sweep: recall@3 0.974 at 37 ms/q batched
-    # (cx256: 0.932@28ms, cx384: 0.964@33ms; beam 32 adds latency, no recall)
-    kw = dict(top_k=3, complexity=512, beam_width=16, rerank_size=64, n_entries=128)
+    # cx1024/beam16 from the r3 sweep: recall@3 0.9948 at ~45 ms/q batched
+    # (cx512: 0.974@37ms, cx768: 0.984@47ms — the r2 'batched vs single
+    # recall gap' was pure query-set composition: single ran queries[:32]
+    # at 0.9896 while batched ran all 64, whose second half is harder at
+    # 0.958; both protocols now use the SAME 64 queries)
+    kw = dict(top_k=3, complexity=1024, beam_width=16, rerank_size=64, n_entries=128)
     # adaptive_steps=128 for the BATCHED path only: two-phase escalation
     # (converged lanes exit at 128 steps, stragglers rerun at full cx) —
     # measured ~14% faster batched at identical recall on this tier. Single
@@ -209,7 +212,7 @@ def measure_tier2():
 
     s.search(queries[0], **kw)  # compile warmup
     lat, labels = [], []
-    for q in queries[:32]:
+    for q in queries:
         t0 = time.time()
         res = s.search(q, **kw)
         lat.append((time.time() - t0) * 1000)
@@ -234,7 +237,7 @@ def measure_tier2():
         "n_chunks_100k": TIER2_N,
         "batched_ms_per_query_100k": round(batched_ms, 2),
         "p50_wall_ms_100k": round(p50, 2),
-        "recall_at_3_100k": round(recall_against(truth[:32], labels), 4),
+        "recall_at_3_100k": round(recall_against(truth, labels), 4),
         "batched_recall_at_3_100k": round(recall_against(truth, labels_b), 4),
         "perturbed_recall_at_3_100k": round(recall_against(ptruth, labels_p), 4),
         "index_bytes_100k": idx_bytes,
