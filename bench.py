@@ -366,6 +366,132 @@ def measure_dpr21m():
 
 
 # --------------------------------------------------------------------------
+# 10M / 20M scale tiers (VERDICT r2 #1/#2: recall-vs-latency curve vs the
+# SAVED oracle at multiple operating points, on every >=10M cache present)
+# --------------------------------------------------------------------------
+
+def measure_scale_tier(dirname, tag, points=((512, 128), (1024, 128), (2048, 256))):
+    """Recall/latency curve on a cached scale tier built by
+    benchmarks/scale_10m.py --out-dir ~/.cache/leann_tpu_bench/<dirname>
+    (resumable; see benchmarks/warm_chain.sh). Skipped when the cache is
+    absent or the build hasn't finished. Reports, per operating point
+    (complexity, adaptive_steps): batched ms/query, recall@3 and tie-aware
+    recall@3 vs the saved exact oracle; plus single-query p50 and a held-out
+    perturbed-query protocol (cached oracle from the persisted normalized
+    embedding matrix) at the middle point. Reference bar: 'Excellent recall
+    (95%+)' below 10M (/root/reference/docs/configuration-guide.md:92) and
+    the 60M headline (/root/reference/README.md:683-687)."""
+    if os.environ.get("LEANN_BENCH_SCALE", "1") != "1":
+        return {}
+    tier = os.path.join(CACHE_DIR, dirname)
+    prefix = ""
+    if os.path.isdir(tier):
+        metas = [f for f in os.listdir(tier) if f.endswith(".leann.meta.json")]
+        if len(metas) > 1:
+            metas.sort(key=lambda f: os.path.getmtime(os.path.join(tier, f)), reverse=True)
+            log(f"{tag}: {len(metas)} meta files in tier dir, using newest {metas[0]}")
+        if metas:
+            prefix = os.path.join(tier, metas[0][: -len(".meta.json")])
+    tpath, qpath = os.path.join(tier, "truth.npy"), os.path.join(tier, "queries.json")
+    emb_path = os.path.join(tier, "emb_norm.npy")
+    if not (prefix and os.path.exists(tpath) and os.path.exists(qpath)):
+        log(f"{tag} tier skipped: no cached index/oracle in {tier}")
+        return {}
+    # an index whose backend artifact is missing = build died mid-persist
+    meta = json.load(open(prefix + ".meta.json"))
+    from leann_tpu import LeannSearcher
+    from leann_tpu.embeddings.encoder import get_encoder
+
+    n = meta["num_chunks"]
+    queries = json.load(open(qpath))
+    truth = np.load(tpath)
+    max_len = meta.get("max_length", 64)
+    enc = get_encoder(meta["embedding_model"], max_length=max_len)
+    qv = enc.encode(queries)
+    qv /= np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
+    emb_n = np.load(emb_path, mmap_mode="r") if os.path.exists(emb_path) else None
+
+    from bench_common import tie_aware_recall
+
+    s = LeannSearcher(prefix)
+    base = dict(top_k=3, beam_width=16, rerank_size=128, n_entries=256)
+    curve = []
+    for cx, ad in points:
+        kw = dict(base, complexity=cx, adaptive_steps=ad)
+        s.search(queries, **kw)  # compile warmup
+        t0 = time.time()
+        res_b = s.search(queries, **kw)
+        ms = (time.time() - t0) * 1000 / len(queries)
+        labels = [[int(r.id) for r in row] for row in res_b]
+        pt = {"complexity": cx, "adaptive_steps": ad,
+              "batched_ms_per_query": round(ms, 2),
+              "recall_at_3": round(recall_against(truth, labels), 4)}
+        if emb_n is not None:
+            pt["tie_recall_at_3"] = round(tie_aware_recall(emb_n, qv, labels, truth), 4)
+        curve.append(pt)
+        log(f"{tag} cx{cx}/a{ad}: {pt}")
+
+    # single-query wall p50 at the middle point (tunnel-RTT-bound, reported
+    # for parity with the other tiers)
+    mid = dict(base, complexity=points[len(points) // 2][0])
+    s.search(queries[0], **mid)
+    lat = []
+    for q in queries[:16]:
+        t0 = time.time()
+        s.search(q, **mid)
+        lat.append((time.time() - t0) * 1000)
+
+    # held-out perturbed protocol (cached oracle; first run pays corpus regen
+    # + one host-blocked matmul over the memmapped matrix)
+    extra = {}
+    if emb_n is not None:
+        ptp = os.path.join(tier, "truth_perturbed.npy")
+        pqp = os.path.join(tier, "queries_perturbed.json")
+        from bench_common import make_queries
+
+        if os.path.exists(ptp) and os.path.exists(pqp):
+            pq, ptruth = json.load(open(pqp)), np.load(ptp)
+        else:
+            from scale_10m import host_oracle
+            from scale_500k import synth_corpus
+
+            t0 = time.time()
+            chunks = synth_corpus(n, np.random.default_rng(0))
+            pq, _ = make_queries(chunks, len(queries), seed=7, mode="perturbed")
+            del chunks
+            pqv = enc.encode(pq)
+            pqv /= np.maximum(np.linalg.norm(pqv, axis=1, keepdims=True), 1e-12)
+            ptruth = host_oracle(emb_n, pqv, 3)
+            np.save(ptp, ptruth)
+            json.dump(pq, open(pqp, "w"))
+            log(f"{tag} perturbed oracle computed in {time.time()-t0:.0f}s")
+        kw = dict(base, complexity=points[len(points) // 2][0],
+                  adaptive_steps=points[len(points) // 2][1])
+        res_p = s.search(pq, **kw)
+        labels_p = [[int(r.id) for r in row] for row in res_p]
+        pqv = enc.encode(pq)
+        pqv /= np.maximum(np.linalg.norm(pqv, axis=1, keepdims=True), 1e-12)
+        extra[f"perturbed_recall_at_3_{tag}"] = round(recall_against(ptruth, labels_p), 4)
+        extra[f"perturbed_tie_recall_at_3_{tag}"] = round(
+            tie_aware_recall(emb_n, pqv, labels_p, ptruth), 4)
+
+    best = max(curve, key=lambda p: p.get("tie_recall_at_3", p["recall_at_3"]))
+    idx_bytes = index_all_in_bytes(prefix)
+    return {
+        f"n_chunks_{tag}": n,
+        f"recall_curve_{tag}": curve,
+        f"recall_at_3_{tag}": best["recall_at_3"],
+        f"tie_recall_at_3_{tag}": best.get("tie_recall_at_3"),
+        f"batched_ms_per_query_{tag}": best["batched_ms_per_query"],
+        f"p50_wall_ms_{tag}": round(float(np.percentile(lat, 50)), 2),
+        **extra,
+        f"index_bytes_{tag}": idx_bytes,
+        f"flat_baseline_bytes_{tag}": n * 384 * 4,
+        f"storage_savings_{tag}": round(1 - idx_bytes / (n * 384 * 4), 4),
+    }
+
+
+# --------------------------------------------------------------------------
 # toy tier (fresh builds, both backends)
 # --------------------------------------------------------------------------
 
@@ -564,6 +690,10 @@ def main():
         out.update(measure_tier2())
         log("=== DPR-scale 2.1M cached tier ===")
         out.update(measure_dpr21m())
+        log("=== 10M scale tier ===")
+        out.update(measure_scale_tier("s10m", "10m"))
+        log("=== 20M scale tier ===")
+        out.update(measure_scale_tier("s20m", "20m"))
     log("=== toy tier (fresh builds) ===")
     out.update(measure_toy())
     if not cpu_mode:

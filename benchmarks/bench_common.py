@@ -94,6 +94,29 @@ def recall_at_k(labels, truth):
     return hits / (truth.shape[0] * truth.shape[1])
 
 
+def tie_aware_recall(emb_n, qv, labels, truth, eps=1e-3):
+    """Tie-aware recall@k: a returned id is a hit when its EXACT similarity
+    reaches the oracle's k-th best, within eps. At 10M+ the synthetic corpus
+    has near-duplicate sibling chunks whose oracle id set is arbitrary within
+    similarity ties, so plain id-recall under-reports the index (measured 0.66
+    plain at 10M while full-chunk self-retrieval was 16/16). Standard ANN
+    practice; same protocol as benchmarks/scale_10m.py tie_recall.
+
+    emb_n: normalized [N, D] matrix (memmap fine); qv: normalized [Q, D]
+    query vectors; labels: list of id rows; truth: [Q, k] oracle ids."""
+    hits = total = 0
+    for qi, row in enumerate(labels):
+        ids = np.asarray([int(x) for x in row])
+        ids = ids[ids >= 0]  # padded/invalid labels count as misses
+        floor = float(np.min(
+            np.asarray(emb_n[np.sort(truth[qi])], np.float32) @ qv[qi]))
+        if len(ids):
+            sims = np.asarray(emb_n[np.sort(ids)], np.float32) @ qv[qi]
+            hits += int((sims >= floor - eps).sum())
+        total += len(row)
+    return hits / max(total, 1)
+
+
 def timed_searches(searcher, queries, warmup=1, **kw):
     for q in queries[:warmup]:
         searcher.search(q, **kw)

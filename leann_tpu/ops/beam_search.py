@@ -176,6 +176,20 @@ def _merge_pool(ids_a, dist_a, flag_a, ids_b, dist_b, flag_b, l: int):
     return ids[:l], dist[:l], flag[:l].astype(bool)
 
 
+def _dedup_mask(nbrs: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """valid with within-batch duplicates knocked out (first occurrence wins).
+    The O(f^2) pairwise test runs on the VPU at beam*R scale (f=512 -> 262K
+    bool lanes/hop; per-hop cost profiled in docs/profile_fused_loop.md via
+    benchmarks/profile_fused_loop.py) and keeps ORIGINAL order — required by
+    the per-source 'local' prune strategy's [beam, R] row structure. Shared by
+    the single-chip loop and the SPMD twin (parallel/sharded_search.py)."""
+    f = nbrs.shape[0]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (f, f), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (f, f), 1)
+    dup = jnp.any((nbrs[:, None] == nbrs[None, :]) & (ii > jj) & valid[None, :], axis=1)
+    return valid & ~dup
+
+
 def _search_one(q: jnp.ndarray, g: GraphData, cfg: BeamConfig, enc_params):
     n, r = g.neighbors.shape
     l = cfg.complexity
@@ -234,11 +248,8 @@ def _search_one(q: jnp.ndarray, g: GraphData, cfg: BeamConfig, enc_params):
         # 2. expand: gather fixed-degree neighbor rows
         nbrs = g.neighbors[sel_ids].reshape(f)  # [beam*R]
         valid = (nbrs >= 0) & jnp.repeat(sel_valid, r, total_repeat_length=f)
-        # 3. dedup within the batch (upper-triangular equality test)
-        ii = jax.lax.broadcasted_iota(jnp.int32, (f, f), 0)
-        jj = jax.lax.broadcasted_iota(jnp.int32, (f, f), 1)
-        dup = jnp.any((nbrs[:, None] == nbrs[None, :]) & (ii > jj) & valid[None, :], axis=1)
-        valid &= ~dup
+        # 3. dedup within the batch
+        valid = _dedup_mask(nbrs, valid)
         # 4. visited-bitmap test + mark (scatter-add of provably-unset bits)
         safe = jnp.clip(nbrs, 0, n - 1)
         wi = safe >> 5

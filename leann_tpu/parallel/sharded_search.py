@@ -36,7 +36,15 @@ from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from ..embeddings.encoder import encode_tokens
-from ..ops.beam_search import BIG, INF, BeamConfig, _merge_pool, pack_results, unpack_results
+from ..ops.beam_search import (
+    BIG,
+    INF,
+    BeamConfig,
+    _dedup_mask,
+    _merge_pool,
+    pack_results,
+    unpack_results,
+)
 from ..ops.pq import adc_distances, adc_lut
 
 try:  # jax>=0.6 exposes shard_map at top level
@@ -211,10 +219,7 @@ def _sharded_search_one(q, g: ShardedGraph, cfg: BeamConfig, enc_params, keep_lo
             axis,
         )
         valid = (nbrs >= 0) & jnp.repeat(sel_valid, r, total_repeat_length=f)
-        ii = jax.lax.broadcasted_iota(jnp.int32, (f, f), 0)
-        jj = jax.lax.broadcasted_iota(jnp.int32, (f, f), 1)
-        dup = jnp.any((nbrs[:, None] == nbrs[None, :]) & (ii > jj) & valid[None, :], axis=1)
-        valid &= ~dup
+        valid = _dedup_mask(nbrs, valid)
         safe = jnp.clip(nbrs, 0, n - 1)
         wi = safe >> 5
         bit = jnp.uint32(1) << (safe & 31).astype(jnp.uint32)
