@@ -36,18 +36,22 @@ import jax.numpy as jnp  # noqa: E402
 from leann_tpu.ops.beam_search import _dedup_mask, _merge_pool  # noqa: E402
 
 
-def timed(fn, *args, iters=50, warmup=3, batch=1):
-    """ms per call (batch lanes via vmap when batch>1)."""
+def timed(fn, *args, shared=(), iters=50, warmup=3, batch=1):
+    """ms per call (batch lanes via vmap when batch>1). Big lookup tables go
+    in ``shared`` — they must be EXPLICIT jit arguments (vmapped with
+    in_axes=None): a closure-captured device array is baked into the program
+    as a constant and shipped inside the axon remote-compile request, which
+    rejects bodies past ~100 MB (HTTP 413)."""
     if batch > 1:
-        fn = jax.vmap(fn)
+        fn = jax.vmap(fn, in_axes=(None,) * len(shared) + (0,) * len(args))
         args = [jnp.broadcast_to(a, (batch,) + a.shape) for a in args]
     jfn = jax.jit(fn)
     for _ in range(warmup):
-        out = jfn(*args)
+        out = jfn(*shared, *args)
     jax.tree_util.tree_map(np.asarray, out)
     t0 = time.time()
     for _ in range(iters):
-        out = jfn(*args)
+        out = jfn(*shared, *args)
     jax.tree_util.tree_map(np.asarray, out)
     return (time.time() - t0) * 1000 / iters
 
@@ -85,9 +89,9 @@ def main():
 
     rows = []
 
-    def add(name, fn, *a):
-        single = timed(fn, *a, iters=args.iters)
-        batched = timed(fn, *a, iters=args.iters, batch=args.batch)
+    def add(name, fn, *a, shared=()):
+        single = timed(fn, *a, shared=shared, iters=args.iters)
+        batched = timed(fn, *a, shared=shared, iters=args.iters, batch=args.batch)
         rows.append((name, single, batched / args.batch))
 
     # 1. frontier select: top_k over the L-pool
@@ -95,7 +99,8 @@ def main():
         lambda pd, pf: jax.lax.top_k(-jnp.where(pf, 1e30, pd), beam),
         pool_dist, pool_flag)
     # 2. neighbor-row gather from HBM: [beam] -> [beam*R]
-    add("expand (HBM row gather)", lambda s: neighbors[s].reshape(f), sel_ids)
+    add("expand (HBM row gather)", lambda g_, s: g_[s].reshape(f), sel_ids,
+        shared=(neighbors,))
     # 3. O(f^2) dedup
     add("dedup (f^2 pairwise)", lambda nb, v: _dedup_mask(nb, v), nbrs, valid)
     # 4. visited bitmap test+mark
@@ -106,30 +111,31 @@ def main():
         return vis_w.at[wi].add(jnp.where(is_new, bit, jnp.uint32(0))), is_new
     add("visited bitmap", vis, nbrs, valid, visited)
     # 5. ADC distances: code gather [f, M] + LUT lookups
-    def adc(nb):
-        c = codes[nb]
+    def adc(codes_, nb):
+        c = codes_[nb]
         return jnp.take_along_axis(
             lut, c.astype(jnp.int32).T, axis=1).sum(0)
-    add("ADC (code gather + LUT)", adc, nbrs)
+    add("ADC (code gather + LUT)", adc, nbrs, shared=(codes,))
     # 6. pool merge: the lax.sort over [L + f]
     add("merge (lax.sort L+f)",
         lambda *a: _merge_pool(*a, l),
         pool_ids, pool_dist, pool_flag, new_ids, new_dist, new_skip)
 
     # whole-hop composite (everything chained, one jit)
-    def hop(pd, pf, vis_w):
+    def hop(g_, codes_, pd, pf, vis_w):
         neg, pos = jax.lax.top_k(-jnp.where(pf, 1e30, pd), beam)
         sel = pool_ids[pos]
-        nb = neighbors[sel].reshape(f)
+        nb = g_[sel].reshape(f)
         v = _dedup_mask(nb, nb >= 0)
         wi = nb >> 5
         bit = jnp.uint32(1) << (nb & 31).astype(jnp.uint32)
         is_new = ((vis_w[wi] & bit) == 0) & v
         vis_w = vis_w.at[wi].add(jnp.where(is_new, bit, jnp.uint32(0)))
-        d = jnp.take_along_axis(lut, codes[nb].astype(jnp.int32).T, axis=1).sum(0)
+        d = jnp.take_along_axis(lut, codes_[nb].astype(jnp.int32).T, axis=1).sum(0)
         return _merge_pool(pool_ids, pd, pf.at[pos].set(True),
                            jnp.where(is_new, nb, -1), d, ~is_new, l), vis_w
-    add("WHOLE HOP (composite)", hop, pool_dist, pool_flag, visited)
+    add("WHOLE HOP (composite)", hop, pool_dist, pool_flag, visited,
+        shared=(neighbors, codes))
 
     print(f"\nshapes: N={n} R={r} beam={beam} f={f} L={l} M={m} B={args.batch}")
     print("\n| component | single-lane ms/hop | batched ms/hop/lane |")

@@ -237,6 +237,66 @@ class TestWeChatReader:
         assert "hello" in chunks[0]["text"] and "<img>" not in chunks[0]["text"]
         assert chunks[0]["metadata"]["contact"] == "alice"
 
+    def test_wechattweak_export_shape(self, tmp_path):
+        """The REAL WeChatTweak artifact: flat message list per contact file,
+        media as XML content, wxid sender prefixes, epoch createTime
+        (reference apps/history_data/wechat_history.py:93-198)."""
+        from apps.history_data.wechat_history import load_wechat_export
+
+        t0 = 1_700_000_000
+        data = [
+            {"fromUser": "wxid_bob", "content": "wxid_bob:\nlunch tomorrow?",
+             "createTime": t0, "isSentFromSelf": False},
+            {"fromUser": "me", "content": "sure, noon works",
+             "createTime": t0 + 60, "isSentFromSelf": True},
+            # media + system payloads must be dropped
+            {"fromUser": "wxid_bob", "createTime": t0 + 120,
+             "content": '<msg><img cdnurl="http://x" aeskey="k"/></msg>'},
+            {"fromUser": "wxid_bob", "createTime": t0 + 130,
+             "content": '<msg><emoji productid="p" md5="m"/></msg>'},
+            {"fromUser": "wxid_bob", "createTime": t0 + 140,
+             "content": '"wxid_bob" recalled a message'},
+            # quoted-message dict payload
+            {"fromUser": "wxid_bob", "createTime": t0 + 200,
+             "content": {"title": "re: lunch", "quoted": "sure, noon works"}},
+            # >30 min gap -> new conversation window
+            {"fromUser": "wxid_bob", "content": "wxid_bob:\nrunning late",
+             "createTime": t0 + 4000, "isSentFromSelf": False},
+        ]
+        (tmp_path / "bob.json").write_text(json.dumps(data))
+
+        chunks = load_wechat_export(str(tmp_path), time_window_minutes=30)
+        assert len(chunks) == 2  # time gap split
+        first, second = chunks[0]["text"], chunks[1]["text"]
+        assert "lunch tomorrow?" in first and "wxid_bob:" not in first
+        assert "[Me]: sure, noon works" in first
+        assert "re: lunch | sure, noon works" in first  # dict payload joined
+        assert "cdnurl" not in first and "recalled" not in first
+        assert "running late" in second
+        assert chunks[0]["metadata"]["n_messages"] == 3
+
+        # per-message mode: reference header shape, one doc per message
+        per = load_wechat_export(str(tmp_path), concatenate=False)
+        assert len(per) == 4
+        assert per[0]["text"].startswith("Contact: bob\n")
+        assert "Is sent from self: True" in per[1]["text"]
+
+        # include_non_text keeps the media rows via their summary field
+        data2 = [{"fromUser": "wxid_bob", "createTime": t0,
+                  "content": '<msg><img cdnurl="u"/></msg>', "message": "[Image]"}]
+        (tmp_path / "bob.json").write_text(json.dumps(data2))
+        kept = load_wechat_export(str(tmp_path), include_non_text=True)
+        assert len(kept) == 1 and "[Image]" in kept[0]["text"]
+
+        # max_length closes groups; overlap carries trailing messages
+        data3 = [{"fromUser": "wxid_bob", "content": f"wxid_bob:\nmsg {i} " + "x" * 40,
+                  "createTime": t0 + i} for i in range(6)]
+        (tmp_path / "bob.json").write_text(json.dumps(data3))
+        grouped = load_wechat_export(str(tmp_path), max_length=100,
+                                     overlap_messages=1)
+        assert len(grouped) > 1
+        assert "msg 1" in grouped[0]["text"] and "msg 1" in grouped[1]["text"]
+
 
 class TestBrowserReader:
     def test_load_history_sqlite(self, tmp_path):
