@@ -12,17 +12,14 @@ setup:
 	$(MAKE) -C csrc
 	@leann --help > /dev/null && echo "setup ok: leann on PATH, csrc built"
 
-# Rebuild the cached bench tiers a fresh machine is missing. Both are
-# resumable (phase checkpoints) and safe to re-run; they share the single
-# TPU through the axon tunnel. ~6 min (100K) + ~35 min (DPR 2.1M) warm.
+# Rebuild the cached bench tiers a fresh machine is missing, SERIALLY (the
+# tiers share one TPU and one host core; parallel launches contend). Every
+# step is resumable (phase checkpoints / out-dir persistence) — rerunning the
+# chain continues where it stopped. ~5 min (100K) + ~35 min (DPR 2.1M) +
+# ~85 min (10M) + ~4 h (20M) warm.
 warm-caches:
-	nohup python benchmarks/scale_10m.py --n-chunks 2100000 --graph-degree 32 \
-	  --out-dir $(HOME)/.cache/leann_tpu_bench/dpr21m_r32 \
-	  > /tmp/warm_dpr.log 2>&1 &
-	nohup python -c "import sys; sys.path[:0]=['.','benchmarks']; \
-	  from bench import ensure_tier2; ensure_tier2()" \
-	  > /tmp/warm_tier2.log 2>&1 &
-	@echo "cache warms launched: tail -f /tmp/warm_dpr.log /tmp/warm_tier2.log"
+	nohup bash benchmarks/warm_chain.sh >> /tmp/chain.log 2>&1 &
+	@echo "cache chain launched: tail -f /tmp/chain.log"
 
 test:
 	python -m pytest tests/ -x -q

@@ -260,9 +260,34 @@ def adc_lut(q: jnp.ndarray, codebooks: jnp.ndarray, metric: str) -> jnp.ndarray:
     return jnp.sum(jnp.square(qs - codebooks), axis=-1)
 
 
+# Above this row count the one-hot tensor ([C, M, K] bf16) outsizes the win:
+# a 32K-entry pool screen at 64 vmapped lanes would stream ~50 GB/hop.
+_ADC_ONEHOT_MAX_ROWS = 4096
+
+
 def adc_distances(codes: jnp.ndarray, lut: jnp.ndarray) -> jnp.ndarray:
-    """codes i32/u8 [C, M], lut [M, K] -> approx distances [C] f32."""
+    """codes i32/u8 [C, M], lut [M, K] -> approx distances [C] f32.
+
+    Per-hop candidate sets (C <= 4096) reformulate the table lookup as a
+    one-hot matmul on the MXU: TPU lowers scalar table gathers to serialized
+    dynamic-slices, which profiling showed dominating the fused-loop hop
+    (278 -> 75 us/hop/lane batched, docs/profile_fused_loop.md). The one-hot
+    operand is exact in bf16; the LUT is split hi+lo into two bf16 passes
+    accumulated in f32, so the result keeps ~f32 accuracy (rel err ~2^-17 —
+    the recompute screen pools these with exact distances and the OPQ ADC
+    contract is exact reconstruction distance, tests/test_graph_backends.py).
+    Large C (entry-pool screens, one dispatch per query not per hop) keeps
+    the flat gather."""
     m, k = lut.shape
+    c = codes.shape[0]
+    if c <= _ADC_ONEHOT_MAX_ROWS:
+        oh = (codes.astype(jnp.int32)[:, :, None]
+              == jax.lax.iota(jnp.int32, k)[None, None, :])
+        oh2 = oh.astype(jnp.bfloat16).reshape(c, m * k)
+        hi = lut.astype(jnp.bfloat16)
+        lo = (lut - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return (jnp.dot(oh2, hi.reshape(-1), preferred_element_type=jnp.float32)
+                + jnp.dot(oh2, lo.reshape(-1), preferred_element_type=jnp.float32))
     flat = lut.reshape(-1)  # [M*K]
     offs = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1) * k
     idx = codes.astype(jnp.int32) + offs  # [C, M]
