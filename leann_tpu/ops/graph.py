@@ -32,6 +32,7 @@ handled via the same proxy; spherical augmentation is a later refinement.)
 from __future__ import annotations
 
 import functools
+import json
 import logging
 import os
 import time
@@ -131,6 +132,30 @@ def _bucket_rows(n: int, block: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _panel_topk(neg_d: jnp.ndarray, k: int, approx_recall: float):
+    """Top-k of -distance panels. lax.top_k over a [qb, 128K] panel costs
+    ~140 ms and dominates the whole O(N²) pass (matmuls are ~1%);
+    approx_max_k uses the TPU PartialReduce unit and is ~an order faster —
+    0.99 recall is irrelevant noise for *candidate generation* feeding the
+    α-prune. The exact path is two-stage: TPU top_k lowers to a row sort
+    whose cost grows superlinearly in row width, so per-segment top-k over
+    1024-wide rows + an exact merge of the segment winners is several
+    times cheaper than one sort of the full panel and returns bit-equal
+    results (every global top-k entry is in its segment's top-k)."""
+    if approx_recall < 1.0:
+        return jax.lax.approx_max_k(neg_d, k, recall_target=approx_recall)
+    qb_, w = neg_d.shape
+    seg = 1024
+    if w <= 2 * seg or w % seg:
+        return jax.lax.top_k(neg_d, k)
+    n_seg = w // seg
+    kseg = min(k, seg)
+    sv, si = jax.lax.top_k(neg_d.reshape(qb_, n_seg, seg), kseg)
+    si = si + jax.lax.broadcasted_iota(jnp.int32, si.shape, 1) * seg
+    fv, fp = jax.lax.top_k(sv.reshape(qb_, n_seg * kseg), k)
+    return fv, jnp.take_along_axis(si.reshape(qb_, n_seg * kseg), fp, axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "qb", "tile", "n_qblocks", "approx_recall"))
 def _exact_knn_device(emb: jnp.ndarray, n_real: jnp.ndarray, q_start: jnp.ndarray,
                       k: int, qb: int, tile: int, n_qblocks: int,
@@ -147,27 +172,7 @@ def _exact_knn_device(emb: jnp.ndarray, n_real: jnp.ndarray, q_start: jnp.ndarra
     n_tiles = np_total // tile
 
     def panel_topk(neg_d, k):
-        """Top-k of -distance panels. lax.top_k over a [qb, 128K] panel costs
-        ~140 ms and dominates the whole O(N²) pass (matmuls are ~1%);
-        approx_max_k uses the TPU PartialReduce unit and is ~an order faster —
-        0.99 recall is irrelevant noise for *candidate generation* feeding the
-        α-prune. The exact path is two-stage: TPU top_k lowers to a row sort
-        whose cost grows superlinearly in row width, so per-segment top-k over
-        1024-wide rows + an exact merge of the segment winners is several
-        times cheaper than one sort of the full panel and returns bit-equal
-        results (every global top-k entry is in its segment's top-k)."""
-        if approx_recall < 1.0:
-            return jax.lax.approx_max_k(neg_d, k, recall_target=approx_recall)
-        qb_, w = neg_d.shape
-        seg = 1024
-        if w <= 2 * seg or w % seg:
-            return jax.lax.top_k(neg_d, k)
-        n_seg = w // seg
-        kseg = min(k, seg)
-        sv, si = jax.lax.top_k(neg_d.reshape(qb_, n_seg, seg), kseg)
-        si = si + jax.lax.broadcasted_iota(jnp.int32, si.shape, 1) * seg
-        fv, fp = jax.lax.top_k(sv.reshape(qb_, n_seg * kseg), k)
-        return fv, jnp.take_along_axis(si.reshape(qb_, n_seg * kseg), fp, axis=1)
+        return _panel_topk(neg_d, k, approx_recall)
 
     def q_block(carry, qi):
         qs = q_start + qi * qb
@@ -240,6 +245,229 @@ def exact_knn(
         out_i[qs : qs + nb * qb] = np.asarray(ids)
         out_d[qs : qs + nb * qb] = np.asarray(dists)
     return out_i[:n], out_d[:n]
+
+
+# ---------------------------------------------------------------------------
+# Column-sharded exact k-NN (beyond-HBM corpora): brute force on the MXU
+# ---------------------------------------------------------------------------
+
+# Per-shard bf16 budget for the column-resident corpus slab. ~7 GB leaves a
+# 16 GB chip room for the [qb, tile] distance panel, the streamed query
+# chunk, and XLA workspace. At 384-d this is ~9.5M columns per shard: one
+# shard covers the whole 4.2M-10M band, 20M takes two, 60M seven.
+EXACT_SHARD_BYTES = int(os.environ.get("LEANN_EXACT_SHARD_BYTES", str(7 << 30)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "qb", "tile", "n_qblocks", "approx_recall", "q_in_shard"),
+)
+def _exact_knn_shard_device(
+    cshard: jnp.ndarray,   # bf16 [M, D] column slab (M a multiple of tile)
+    cnorms: jnp.ndarray,   # f32 [M]
+    qrows: jnp.ndarray,    # bf16 [n_qblocks*qb, D] (dummy [1, D] if q_in_shard)
+    qnorms: jnp.ndarray,   # f32 [n_qblocks*qb]     (dummy [1]    if q_in_shard)
+    run_d: jnp.ndarray,    # f32 [n_qblocks*qb, k] running best (INF-initialised)
+    run_i: jnp.ndarray,    # i32 [n_qblocks*qb, k] running ids (global, -1 pads)
+    q_start: jnp.ndarray,  # scalar i32 — global id of the first query row
+    col_start: jnp.ndarray,   # scalar i32 — global id of the shard's first column
+    n_real_cols: jnp.ndarray,  # scalar i32 — real (un-padded) columns in shard
+    k: int, qb: int, tile: int, n_qblocks: int,
+    approx_recall: float, q_in_shard: bool,
+):
+    """One (query-chunk × column-shard) pass: fold the shard's distances into
+    the chunk's running top-k. The caller sweeps shards, feeding each chunk's
+    state back in — after the last shard the state IS the exact global top-k.
+    ``q_in_shard``: the query rows live inside ``cshard`` (always true when
+    one shard holds the whole corpus) — slice them on device instead of
+    uploading a second copy of every row."""
+    d = cshard.shape[1]
+    n_tiles = cshard.shape[0] // tile
+
+    def q_block(carry, qi):
+        qs = qi * qb
+        if q_in_shard:
+            qe = jax.lax.dynamic_slice(cshard, (q_start + qs - col_start, 0), (qb, d))
+            qn = jax.lax.dynamic_slice(cnorms, (q_start + qs - col_start,), (qb,))
+        else:
+            qe = jax.lax.dynamic_slice(qrows, (qs, 0), (qb, d))
+            qn = jax.lax.dynamic_slice(qnorms, (qs,), (qb,))
+        q_ids = q_start + qs + jnp.arange(qb, dtype=jnp.int32)
+        rd0 = jax.lax.dynamic_slice(run_d, (qs, 0), (qb, k))
+        ri0 = jax.lax.dynamic_slice(run_i, (qs, 0), (qb, k))
+
+        def t_body(tc, ti):
+            rd, ri = tc
+            ts = ti * tile
+            te = jax.lax.dynamic_slice(cshard, (ts, 0), (tile, d))
+            tn = jax.lax.dynamic_slice(cnorms, (ts,), (tile,))
+            dots = jax.lax.dot_general(
+                qe, te, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dmat = qn[:, None] + tn[None, :] - 2.0 * dots  # [qb, tile] squared l2
+            ids = col_start + ts + jax.lax.broadcasted_iota(jnp.int32, dmat.shape, 1)
+            bad = (ids >= col_start + n_real_cols) | (ids == q_ids[:, None])
+            dmat = jnp.where(bad, INF, dmat)
+            neg_t, pos_t = _panel_topk(-dmat, k, approx_recall)
+            ids_t = jnp.take_along_axis(ids, pos_t, axis=1)
+            all_d = jnp.concatenate([rd, -neg_t], axis=1)
+            all_i = jnp.concatenate([ri, ids_t], axis=1)
+            neg, pos = jax.lax.top_k(-all_d, k)  # [qb, 2k] merge stays exact
+            return (-neg, jnp.take_along_axis(all_i, pos, axis=1)), None
+
+        (rd, ri), _ = jax.lax.scan(t_body, (rd0, ri0), jnp.arange(n_tiles))
+        return carry, (rd, ri)
+
+    _, (rd, ri) = jax.lax.scan(q_block, None, jnp.arange(n_qblocks))
+    return rd.reshape(n_qblocks * qb, k), ri.reshape(n_qblocks * qb, k)
+
+
+def exact_knn_sharded(
+    emb: np.ndarray, k: int, query_block: int = 1024, tile: int = 131072,
+    qchunk: int = 131072, shard_bytes: "int | None" = None,
+    approx_recall: "float | None" = None, checkpoint_dir: str = "",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact k-NN for corpora whose bf16 matrix exceeds HBM: the matrix stays
+    in host RAM; the device holds one bf16 *column shard* at a time while
+    query chunks stream through, each carrying its running top-k state
+    (ids+dists, merged on device). After the last shard the state is the
+    exact global answer -> (ids i32[N, k], dists f32[N, k]).
+
+    TPU-first replacement for approximate candidate generation at 10M-60M:
+    brute force is ~N²·D·2 bf16 FLOPs — 7.7e16 at 10M×384, under 15 minutes
+    of MXU time — while the window/cluster heuristic this replaces measured
+    13% candidate recall at 10M (neighbors at ~45° co-assign rarely under
+    65K fine-grained clusters with 2 probes). The reference never faces the
+    choice: its HNSW inserts sequentially on CPU (hnsw_backend.py:83-89).
+
+    ``checkpoint_dir``: the running state is flushed after every completed
+    shard and a killed run resumes at the first unfinished shard (the state
+    arrays double as the resume artifact)."""
+    n, d = emb.shape
+    qb = max(8, min(query_block, 1024))
+    shard_bytes = shard_bytes or EXACT_SHARD_BYTES
+    tile = max(qb, (min(tile, _bucket_rows(n, qb)) // qb) * qb)
+    rows_per_shard = max(tile, (int(shard_bytes // (2 * d)) // tile) * tile)
+    n_shards = (n + rows_per_shard - 1) // rows_per_shard
+    qchunk = max(qb, (qchunk // qb) * qb)
+    np_total = _bucket_rows(n, qb)
+    if approx_recall is None:
+        approx_recall = 0.99 if n >= APPROX_KNN_MIN_N else 1.0
+
+    # running state, host-resident between shards (memmapped when huge)
+    sd_path = os.path.join(checkpoint_dir, "exknn_state_d.npy") if checkpoint_dir else ""
+    si_path = os.path.join(checkpoint_dir, "exknn_state_i.npy") if checkpoint_dir else ""
+    meta_path = os.path.join(checkpoint_dir, "exknn_state.json") if checkpoint_dir else ""
+    key = _ckpt_key(emb, f"k{k}ex") if checkpoint_dir else ""
+    shard_done = 0
+    run_d = run_i = None
+    if checkpoint_dir and os.path.exists(meta_path):
+        try:
+            m = json.loads(open(meta_path).read())
+            if m.get("key") == key and 0 < m.get("shards_done", 0) <= n_shards:
+                run_d = np.lib.format.open_memmap(sd_path, mode="r+")
+                run_i = np.lib.format.open_memmap(si_path, mode="r+")
+                if run_d.shape == (np_total, k) and run_i.shape == (np_total, k):
+                    shard_done = m["shards_done"]
+                    logger.info("exact_knn_sharded: resumed at shard %d/%d", shard_done, n_shards)
+                    # the crashed run may have flushed PARTIAL updates for
+                    # shard `shard_done`; re-merging the same ids would
+                    # duplicate them in the top-k (the device merge does not
+                    # dedup). Purge that shard's ids and re-sort each row so
+                    # the re-sweep starts from a clean state.
+                    if shard_done < n_shards:
+                        cs_p = shard_done * rows_per_shard
+                        ce_p = min(cs_p + rows_per_shard, n)
+                        blk_p = 1 << 20
+                        for s_p in range(0, np_total, blk_p):
+                            di = np.asarray(run_d[s_p : s_p + blk_p])
+                            ii = np.asarray(run_i[s_p : s_p + blk_p])
+                            stale = (ii >= cs_p) & (ii < ce_p)
+                            if stale.any():
+                                di[stale] = float(INF)
+                                ii[stale] = -1
+                                o = np.argsort(di, axis=1, kind="stable")
+                                run_d[s_p : s_p + blk_p] = np.take_along_axis(di, o, 1)
+                                run_i[s_p : s_p + blk_p] = np.take_along_axis(ii, o, 1)
+                else:
+                    run_d = run_i = None
+        except Exception as e:  # corrupt partial state from a killed run
+            logger.warning("ignoring unreadable exknn state: %s", e)
+            run_d = run_i = None
+    if run_d is None:
+        if checkpoint_dir:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            run_d = np.lib.format.open_memmap(sd_path, mode="w+", dtype=np.float32, shape=(np_total, k))
+            run_i = np.lib.format.open_memmap(si_path, mode="w+", dtype=np.int32, shape=(np_total, k))
+        else:
+            run_d = np.empty((np_total, k), np.float32)
+            run_i = np.empty((np_total, k), np.int32)
+        run_d[:] = float(INF)
+        run_i[:] = -1
+
+    t_all = time.time()
+    for sh in range(shard_done, n_shards):
+        cs, ce = sh * rows_per_shard, min((sh + 1) * rows_per_shard, n)
+        m_pad = _bucket_rows(ce - cs, tile)
+        cshard_h = np.zeros((m_pad, d), dtype=jnp.bfloat16)
+        cshard_h[: ce - cs] = emb[cs:ce]
+        cshard = jnp.asarray(cshard_h)
+        del cshard_h
+        cn = np.zeros(m_pad, np.float32)
+        cn[: ce - cs] = np.einsum("ij,ij->i", emb[cs:ce], emb[cs:ce], dtype=np.float32)
+        cnorms = jnp.asarray(cn)
+        dummy_q = jnp.zeros((1, d), jnp.bfloat16)
+        dummy_n = jnp.zeros((1,), jnp.float32)
+        t0 = time.time()
+        for ci, qs in enumerate(range(0, np_total, qchunk)):
+            qe_ = min(qs + qchunk, np_total)
+            nqb = (qe_ - qs) // qb
+            # device-side query slice is only safe when every row of the chunk
+            # exists inside the uploaded slab (incl. its zero padding)
+            q_in = qs >= cs and qe_ <= cs + m_pad
+            if q_in:
+                qrows, qnorms = dummy_q, dummy_n
+            else:
+                qh = np.zeros((qe_ - qs, d), dtype=jnp.bfloat16)
+                real = max(0, min(n, qe_) - qs)
+                qh[:real] = emb[qs : qs + real]
+                qrows = jnp.asarray(qh)
+                qn_h = np.zeros(qe_ - qs, np.float32)
+                qn_h[:real] = np.einsum("ij,ij->i", emb[qs : qs + real], emb[qs : qs + real], dtype=np.float32)
+                qnorms = jnp.asarray(qn_h)
+            rd, ri = _exact_knn_shard_device(
+                cshard, cnorms, qrows, qnorms,
+                jnp.asarray(run_d[qs:qe_]), jnp.asarray(run_i[qs:qe_]),
+                jnp.int32(qs), jnp.int32(cs), jnp.int32(ce - cs),
+                k=k, qb=qb, tile=tile, n_qblocks=nqb,
+                approx_recall=float(approx_recall), q_in_shard=bool(q_in),
+            )
+            run_d[qs:qe_] = np.asarray(rd)
+            run_i[qs:qe_] = np.asarray(ri)
+            if ci % 16 == 15:
+                logger.info("exact_knn_sharded: shard %d/%d rows %d/%d (%.0fs)",
+                            sh + 1, n_shards, qe_, np_total, time.time() - t0)
+        del cshard, cnorms
+        if checkpoint_dir:
+            run_d.flush(); run_i.flush()
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"key": key, "shards_done": sh + 1}, f)
+            os.replace(tmp, meta_path)
+        logger.info("exact_knn_sharded: shard %d/%d done in %.1fs (host rss %.1f GB)",
+                    sh + 1, n_shards, time.time() - t0, _rss_gb())
+    logger.info("exact_knn_sharded: %d shards, %.1fs total", n_shards, time.time() - t_all)
+    out_i = np.asarray(run_i[:n])
+    out_d = np.asarray(run_d[:n])
+    out_i[out_d >= float(INF)] = -1
+    if checkpoint_dir:
+        for p in (sd_path, si_path, meta_path):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+    return out_i, out_d
 
 
 # ---------------------------------------------------------------------------
@@ -1118,10 +1346,14 @@ def build_graph(
     if keep_closest < 0:
         keep_closest = r // 4
     rc_tag = f"_rc{reverse_candidates}" if reverse_candidates > 0 else ""
+    # beyond-HBM candidate pass: sharded exact by default; "spill" opts back
+    # into the window/cluster heuristic (13% candidate recall at 10M — kept
+    # only as an escape hatch for corpora too big to afford O(N²))
+    knn_mode = os.environ.get("LEANN_KNN_MODE", "exact") if n > EXACT_KNN_MAX_N else "small"
     knn_path = prune_path = key = None
     if checkpoint_dir:
         os.makedirs(checkpoint_dir, exist_ok=True)
-        key = _ckpt_key(emb, f"c{c}")
+        key = _ckpt_key(emb, f"c{c}ex" if knn_mode == "exact" else f"c{c}")
         knn_path = os.path.join(checkpoint_dir, "ckpt_knn.npy")
         prune_path = os.path.join(checkpoint_dir, "ckpt_pruned.npy")
         done = _ckpt_load(prune_path, f"{key}_r{r}_a{alpha}_kc{keep_closest}{rc_tag}")
@@ -1135,12 +1367,18 @@ def build_graph(
     knn_resumed = knn_ids is not None
     if knn_resumed:
         logger.info("build_graph: resumed knn candidates from %s", knn_path)
-    elif n > EXACT_KNN_MAX_N:
-        # O(N²) exact stops scaling here. The spill window pass streams the
-        # host-resident corpus through fixed-shape chunk dispatches (measured
-        # init recall@10 ~0.90 on clustered data vs 0.61 single-probe; NN-
-        # descent at 2.1M was 60% unconverged after 2200 s)
+    elif knn_mode == "spill":
+        # window/cluster heuristic: streams the host-resident corpus through
+        # fixed-shape chunk dispatches. Cheap but approximate — candidate
+        # recall measured 13% at 10M (fine-grained k-means + 2 probes misses
+        # neighbors at ~45°); prefer the exact sharded pass below
         knn_ids, _ = spill_knn_streamed(emb, c, scratch_dir=checkpoint_dir)
+    elif n > EXACT_KNN_MAX_N:
+        # single-chip HBM can't hold the matrix, but O(N²) brute force on the
+        # MXU is still the fastest *and* exact option well past 10M — the
+        # column-sharded pass streams query chunks + running top-k state
+        # through one device-resident bf16 slab at a time
+        knn_ids, _ = exact_knn_sharded(emb, c, checkpoint_dir=checkpoint_dir or "")
     else:
         knn_ids, _ = exact_knn(emb, c, query_block=query_block)
     if knn_path and not knn_resumed:

@@ -357,3 +357,97 @@ class TestReverseCandidates:
 
         r_rev, r_plain = rec(g_rev), rec(g_plain)
         assert r_rev >= r_plain - 0.05, f"reverse-candidates hurt: {r_rev} vs {r_plain}"
+
+
+class TestExactKnnSharded:
+    """Column-sharded exact k-NN — the default beyond-HBM candidate pass
+    (replaces spill-KNN, whose candidate recall measured 13% at 10M)."""
+
+    def test_parity_with_exact_knn(self, rng):
+        from leann_tpu.ops.graph import exact_knn, exact_knn_sharded
+
+        n, d, k = 5000, 32, 8
+        emb = rng.standard_normal((n, d)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        i1, d1 = exact_knn(emb, k, query_block=256, tile=1024, approx_recall=1.0)
+        # shard_bytes forces >=3 column shards; qchunk forces both the
+        # in-shard device slice and the streamed-upload query paths
+        i2, d2 = exact_knn_sharded(emb, k, query_block=256, tile=512, qchunk=1024,
+                                   shard_bytes=512 * 2 * d, approx_recall=1.0)
+        assert (i1 == i2).all()
+        assert np.abs(d1 - d2).max() < 1e-4
+
+    def test_f16_host_matrix(self, rng):
+        """The 10M+ build path feeds an f16 host matrix; ids must land within
+        cast-noise of the f32 answer (identical distances up to bf16/f16)."""
+        from leann_tpu.ops.graph import exact_knn, exact_knn_sharded
+
+        n, d, k = 3000, 32, 8
+        emb = rng.standard_normal((n, d)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        i1, _ = exact_knn(emb, k, query_block=256, tile=1024, approx_recall=1.0)
+        i2, _ = exact_knn_sharded(emb.astype(np.float16), k, query_block=256,
+                                  tile=512, qchunk=1024, shard_bytes=512 * 2 * d,
+                                  approx_recall=1.0)
+        agree = (i1 == i2).mean()
+        assert agree > 0.9, f"f16 id agreement {agree}"
+
+    def test_resume_from_partial_state(self, rng, tmp_path, monkeypatch):
+        """A run killed between shards must resume at the first unfinished
+        shard and produce the same answer as an uninterrupted run."""
+        from leann_tpu.ops import graph as G
+
+        n, d, k = 4000, 16, 6
+        emb = rng.standard_normal((n, d)).astype(np.float32)
+        full_i, full_d = G.exact_knn_sharded(emb, k, query_block=256, tile=512,
+                                             qchunk=1024, shard_bytes=1024 * 2 * d,
+                                             approx_recall=1.0)
+
+        calls = {"n": 0}
+        orig = G._exact_knn_shard_device
+
+        def boom(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] > 6:  # die partway through shard 2+
+                raise RuntimeError("simulated tunnel wedge")
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(G, "_exact_knn_shard_device", boom)
+        try:
+            G.exact_knn_sharded(emb, k, query_block=256, tile=512, qchunk=1024,
+                                shard_bytes=1024 * 2 * d, approx_recall=1.0,
+                                checkpoint_dir=str(tmp_path))
+            raise AssertionError("expected simulated crash")
+        except RuntimeError:
+            pass
+        monkeypatch.setattr(G, "_exact_knn_shard_device", orig)
+        # state sidecar exists and records completed shards
+        import json as _json
+        meta = _json.load(open(tmp_path / "exknn_state.json"))
+        assert meta["shards_done"] >= 1
+        i2, d2 = G.exact_knn_sharded(emb, k, query_block=256, tile=512, qchunk=1024,
+                                     shard_bytes=1024 * 2 * d, approx_recall=1.0,
+                                     checkpoint_dir=str(tmp_path))
+        assert (i2 == full_i).all()
+        assert np.abs(d2 - full_d).max() < 1e-4
+        # state is cleaned up after a completed run
+        assert not (tmp_path / "exknn_state.json").exists()
+
+    def test_build_graph_default_uses_exact(self, rng, monkeypatch):
+        """Above EXACT_KNN_MAX_N the default candidate pass is the sharded
+        exact one; LEANN_KNN_MODE=spill opts back into the heuristic."""
+        from leann_tpu.ops import graph as G
+
+        emb = rng.standard_normal((2000, 16)).astype(np.float32)
+        monkeypatch.setattr(G, "EXACT_KNN_MAX_N", 500)
+        seen = []
+        orig_ex, orig_sp = G.exact_knn_sharded, G.spill_knn_streamed
+        monkeypatch.setattr(G, "exact_knn_sharded",
+                            lambda *a, **kw: (seen.append("exact"), orig_ex(*a, **kw))[1])
+        monkeypatch.setattr(G, "spill_knn_streamed",
+                            lambda *a, **kw: (seen.append("spill"), orig_sp(*a, **kw))[1])
+        G.build_graph(emb, r=8)
+        assert seen == ["exact"]
+        monkeypatch.setenv("LEANN_KNN_MODE", "spill")
+        G.build_graph(emb, r=8)
+        assert seen == ["exact", "spill"]
