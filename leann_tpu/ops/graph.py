@@ -257,6 +257,11 @@ def exact_knn(
 # shard covers the whole 4.2M-10M band, 20M takes two, 60M seven.
 EXACT_SHARD_BYTES = int(os.environ.get("LEANN_EXACT_SHARD_BYTES", str(7 << 30)))
 
+# Intra-shard checkpoint cadence for exact_knn_sharded (seconds). One shard's
+# query sweep spans hours at 10M+; the running top-k memmaps are flushed and
+# the qchunk watermark recorded this often so a wedge resumes mid-shard.
+QCKPT_SECS = float(os.environ.get("LEANN_EXACT_QCKPT_SECS", "300"))
+
 
 @functools.partial(
     jax.jit,
@@ -361,26 +366,35 @@ def exact_knn_sharded(
     meta_path = os.path.join(checkpoint_dir, "exknn_state.json") if checkpoint_dir else ""
     key = _ckpt_key(emb, f"k{k}ex") if checkpoint_dir else ""
     shard_done = 0
+    q_resume = 0  # completed qchunks within shard `shard_done` (mid-shard resume)
     run_d = run_i = None
     if checkpoint_dir and os.path.exists(meta_path):
         try:
             m = json.loads(open(meta_path).read())
-            if m.get("key") == key and 0 < m.get("shards_done", 0) <= n_shards:
+            m_sh, m_q = m.get("shards_done", 0), m.get("qchunks_done", 0)
+            # shard/qchunk geometry must match or the resume offsets are
+            # meaningless (older metas omit the fields; same-config assumed)
+            geom_ok = (m.get("rows_per_shard", rows_per_shard) == rows_per_shard
+                       and m.get("qchunk", qchunk) == qchunk)
+            if m.get("key") == key and geom_ok and (m_sh > 0 or m_q > 0) and m_sh <= n_shards:
                 run_d = np.lib.format.open_memmap(sd_path, mode="r+")
                 run_i = np.lib.format.open_memmap(si_path, mode="r+")
                 if run_d.shape == (np_total, k) and run_i.shape == (np_total, k):
-                    shard_done = m["shards_done"]
-                    logger.info("exact_knn_sharded: resumed at shard %d/%d", shard_done, n_shards)
+                    shard_done, q_resume = m_sh, m_q
+                    logger.info("exact_knn_sharded: resumed at shard %d/%d qchunk %d",
+                                shard_done, n_shards, q_resume)
                     # the crashed run may have flushed PARTIAL updates for
-                    # shard `shard_done`; re-merging the same ids would
-                    # duplicate them in the top-k (the device merge does not
-                    # dedup). Purge that shard's ids and re-sort each row so
-                    # the re-sweep starts from a clean state.
+                    # shard `shard_done` beyond the last checkpointed qchunk;
+                    # re-merging the same ids would duplicate them in the
+                    # top-k (the device merge does not dedup). Purge that
+                    # shard's ids from the not-yet-durable rows (the first
+                    # q_resume qchunks are durable and keep their merges) and
+                    # re-sort each row so the re-sweep starts clean.
                     if shard_done < n_shards:
                         cs_p = shard_done * rows_per_shard
                         ce_p = min(cs_p + rows_per_shard, n)
                         blk_p = 1 << 20
-                        for s_p in range(0, np_total, blk_p):
+                        for s_p in range(q_resume * qchunk, np_total, blk_p):
                             di = np.asarray(run_d[s_p : s_p + blk_p])
                             ii = np.asarray(run_i[s_p : s_p + blk_p])
                             stale = (ii >= cs_p) & (ii < ce_p)
@@ -395,6 +409,8 @@ def exact_knn_sharded(
         except Exception as e:  # corrupt partial state from a killed run
             logger.warning("ignoring unreadable exknn state: %s", e)
             run_d = run_i = None
+    if run_d is None:
+        q_resume = 0
     if run_d is None:
         if checkpoint_dir:
             os.makedirs(checkpoint_dir, exist_ok=True)
@@ -420,7 +436,10 @@ def exact_knn_sharded(
         dummy_q = jnp.zeros((1, d), jnp.bfloat16)
         dummy_n = jnp.zeros((1,), jnp.float32)
         t0 = time.time()
+        t_ckpt = time.time()
         for ci, qs in enumerate(range(0, np_total, qchunk)):
+            if sh == shard_done and ci < q_resume:
+                continue  # durable from the checkpoint; re-merging would dup
             qe_ = min(qs + qchunk, np_total)
             nqb = (qe_ - qs) // qb
             # device-side query slice is only safe when every row of the chunk
@@ -448,12 +467,24 @@ def exact_knn_sharded(
             if ci % 16 == 15:
                 logger.info("exact_knn_sharded: shard %d/%d rows %d/%d (%.0fs)",
                             sh + 1, n_shards, qe_, np_total, time.time() - t0)
+            # intra-shard durability: a single shard spans hours at 10M+ and
+            # the tunneled TPU worker wedges mid-phase; every few minutes the
+            # completed qchunks become the resume point instead of the shard
+            if checkpoint_dir and time.time() - t_ckpt > QCKPT_SECS:
+                run_d.flush(); run_i.flush()
+                tmp = meta_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump({"key": key, "shards_done": sh, "qchunks_done": ci + 1,
+                               "rows_per_shard": rows_per_shard, "qchunk": qchunk}, f)
+                os.replace(tmp, meta_path)
+                t_ckpt = time.time()
         del cshard, cnorms
         if checkpoint_dir:
             run_d.flush(); run_i.flush()
             tmp = meta_path + ".tmp"
             with open(tmp, "w") as f:
-                json.dump({"key": key, "shards_done": sh + 1}, f)
+                json.dump({"key": key, "shards_done": sh + 1, "qchunks_done": 0,
+                           "rows_per_shard": rows_per_shard, "qchunk": qchunk}, f)
             os.replace(tmp, meta_path)
         logger.info("exact_knn_sharded: shard %d/%d done in %.1fs (host rss %.1f GB)",
                     sh + 1, n_shards, time.time() - t0, _rss_gb())

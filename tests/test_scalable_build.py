@@ -433,6 +433,58 @@ class TestExactKnnSharded:
         # state is cleaned up after a completed run
         assert not (tmp_path / "exknn_state.json").exists()
 
+    def test_resume_mid_shard(self, rng, tmp_path, monkeypatch):
+        """At 10M one shard's query sweep spans hours, so the qchunk watermark
+        must also be durable: a run killed inside shard 0 resumes at the last
+        checkpointed qchunk, not the start of the shard, and still matches the
+        uninterrupted answer."""
+        from leann_tpu.ops import graph as G
+
+        n, d, k = 4000, 16, 6
+        emb = rng.standard_normal((n, d)).astype(np.float32)
+        full_i, full_d = G.exact_knn_sharded(emb, k, query_block=256, tile=512,
+                                             qchunk=1024, shard_bytes=1024 * 2 * d,
+                                             approx_recall=1.0)
+
+        monkeypatch.setattr(G, "QCKPT_SECS", 0.0)  # checkpoint after every qchunk
+        calls = {"n": 0}
+        orig = G._exact_knn_shard_device
+
+        def boom(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] > 2:  # die inside shard 0 (4 qchunks/shard)
+                raise RuntimeError("simulated tunnel wedge")
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(G, "_exact_knn_shard_device", boom)
+        try:
+            G.exact_knn_sharded(emb, k, query_block=256, tile=512, qchunk=1024,
+                                shard_bytes=1024 * 2 * d, approx_recall=1.0,
+                                checkpoint_dir=str(tmp_path))
+            raise AssertionError("expected simulated crash")
+        except RuntimeError:
+            pass
+        monkeypatch.setattr(G, "_exact_knn_shard_device", orig)
+        import json as _json
+        meta = _json.load(open(tmp_path / "exknn_state.json"))
+        assert meta["shards_done"] == 0 and meta["qchunks_done"] == 2
+
+        calls2 = {"n": 0}
+
+        def count(*a, **kw):
+            calls2["n"] += 1
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(G, "_exact_knn_shard_device", count)
+        i2, d2 = G.exact_knn_sharded(emb, k, query_block=256, tile=512, qchunk=1024,
+                                     shard_bytes=1024 * 2 * d, approx_recall=1.0,
+                                     checkpoint_dir=str(tmp_path))
+        # 16 qchunk sweeps total (4 shards x 4), 2 already durable
+        assert calls2["n"] == 14
+        assert (i2 == full_i).all()
+        assert np.abs(d2 - full_d).max() < 1e-4
+        assert not (tmp_path / "exknn_state.json").exists()
+
     def test_build_graph_default_uses_exact(self, rng, monkeypatch):
         """Above EXACT_KNN_MAX_N the default candidate pass is the sharded
         exact one; LEANN_KNN_MODE=spill opts back into the heuristic."""
