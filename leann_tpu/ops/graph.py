@@ -1173,47 +1173,93 @@ def robust_prune_explicit(
 # ---------------------------------------------------------------------------
 
 
-def _reverse_sample(nbrs: np.ndarray, cap: int, rng: np.random.Generator) -> np.ndarray:
+def _trim_host(label: str = "") -> None:
+    """Return freed numpy buffers to the OS at phase boundaries. glibc keeps
+    multi-GB arenas resident after the KNN/prune phases' churn of short-lived
+    giant arrays; on a 125 GB host running 20M+ builds that retained slack is
+    the difference between finishing and rc=137."""
+    import ctypes
+    import gc
+
+    gc.collect()
+    try:
+        ctypes.CDLL("libc.so.6").malloc_trim(0)
+    except Exception:  # non-glibc: nothing to trim, gc alone is the best we have
+        pass
+    if label:
+        logger.info("host trim after %s: rss %.1f GB", label, _rss_gb())
+
+
+def _reverse_sample(nbrs: np.ndarray, cap: int, rng: np.random.Generator,
+                    dst_ranges: int = 16) -> np.ndarray:
     """Sampled reverse edges: for each node up to ``cap`` nodes that list it.
-    Vectorized host pass over the edge list."""
+    Vectorized host pass over the edge list, partitioned into ``dst_ranges``
+    destination-id bands so the per-band int64 sort scratch stays ~E/16 —
+    one global rng.permutation + argsort over the 1.9G-edge list at 60M×R32
+    is ~90 GB of int64 temporaries, which is what OOM-killed the first 20M
+    build right after its prune phase. Per-dst sampling semantics are
+    unchanged: every dst group lives wholly inside one band."""
     n, k = nbrs.shape
-    src = np.repeat(np.arange(n, dtype=np.int32), k)
-    dst = nbrs.ravel()
-    keep = dst >= 0
-    src, dst = src[keep], dst[keep]
-    order = rng.permutation(src.size)
-    src, dst = src[order], dst[order]
-    sort_i = np.argsort(dst, kind="stable")
-    dst_s, src_s = dst[sort_i], src[sort_i]
-    # rank within each dst group
-    first = np.r_[True, dst_s[1:] != dst_s[:-1]]
-    group_start = np.maximum.accumulate(np.where(first, np.arange(dst_s.size), 0))
-    rank = np.arange(dst_s.size) - group_start
     out = np.full((n, cap), -1, np.int32)
-    sel = rank < cap
-    out[dst_s[sel], rank[sel]] = src_s[sel]
+    if n == 0:
+        return out
+    dst_flat = np.ascontiguousarray(nbrs, dtype=np.int32).reshape(-1)
+    bounds = np.linspace(0, n, min(dst_ranges, n) + 1).astype(np.int64)
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        if hi <= lo:
+            continue
+        idx = np.flatnonzero((dst_flat >= lo) & (dst_flat < hi))  # drops -1 too
+        if idx.size == 0:
+            continue
+        dst_b = dst_flat[idx]
+        src_b = (idx // k).astype(np.int32)
+        del idx
+        # random priority per edge decides which in-edges survive the cap
+        order = rng.permutation(dst_b.size)
+        dst_b, src_b = dst_b[order], src_b[order]
+        del order
+        sort_i = np.argsort(dst_b, kind="stable")
+        dst_b, src_b = dst_b[sort_i], src_b[sort_i]
+        del sort_i
+        # rank within each dst group
+        first = np.r_[True, dst_b[1:] != dst_b[:-1]]
+        group_start = np.maximum.accumulate(np.where(first, np.arange(dst_b.size), 0))
+        rank = np.arange(dst_b.size) - group_start
+        sel = rank < cap
+        out[dst_b[sel], rank[sel]] = src_b[sel]
     return out
 
 
-def _fill_reverse_edges(neighbors: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+def _fill_reverse_edges(neighbors: np.ndarray, rng: np.random.Generator,
+                        block: int = 1 << 20) -> np.ndarray:
     """Fill pruned (-1) slots with sampled in-edges — vectorized host pass
     (python loops don't scale to millions of nodes). Out-edges keep priority;
-    reverse edges pack into the remaining slots."""
+    reverse edges pack into the remaining slots. Row-blocked and int32-clean:
+    the original whole-matrix pass promoted to int64 via the self-loop
+    np.where and held ~6 [N, 2R] temporaries at once (~55 GB at 20M×R32)."""
     n, r = neighbors.shape
     rev = _reverse_sample(neighbors, r, rng)
-    cand = np.concatenate([neighbors, rev], axis=1)  # [n, 2r]
-    cand = np.where(cand == np.arange(n, dtype=np.int64)[:, None], -1, cand)
-    # dedup keeping the first (leftmost) occurrence
-    srt_i = np.argsort(cand, axis=1, kind="stable")
-    srt = np.take_along_axis(cand, srt_i, axis=1)
-    dup_sorted = np.concatenate([np.zeros((n, 1), bool), (srt[:, 1:] == srt[:, :-1]) & (srt[:, 1:] >= 0)], axis=1)
-    dup = np.empty_like(dup_sorted)
-    np.put_along_axis(dup, srt_i, dup_sorted, axis=1)
-    cand = np.where(dup, -1, cand)
-    # left-compact valid entries, preserving column order
-    key = np.where(cand < 0, 1 << 30, np.arange(2 * r, dtype=np.int64)[None, :])
-    order = np.argsort(key, axis=1, kind="stable")
-    return np.take_along_axis(cand, order, axis=1)[:, :r].astype(np.int32)
+    out = np.empty((n, r), np.int32)
+    col = np.arange(2 * r, dtype=np.int32)[None, :]
+    for s in range(0, n, block):
+        e = min(n, s + block)
+        cand = np.empty((e - s, 2 * r), np.int32)
+        cand[:, :r] = neighbors[s:e]
+        cand[:, r:] = rev[s:e]
+        cand[cand == np.arange(s, e, dtype=np.int32)[:, None]] = -1  # self-loops
+        # dedup keeping the first (leftmost) occurrence
+        srt_i = np.argsort(cand, axis=1, kind="stable")
+        srt = np.take_along_axis(cand, srt_i, axis=1)
+        dup_sorted = np.concatenate(
+            [np.zeros((e - s, 1), bool), (srt[:, 1:] == srt[:, :-1]) & (srt[:, 1:] >= 0)], axis=1)
+        dup = np.empty_like(dup_sorted)
+        np.put_along_axis(dup, srt_i, dup_sorted, axis=1)
+        cand[dup] = -1
+        # left-compact valid entries, preserving column order
+        key = np.where(cand < 0, np.int32(1 << 30), col)
+        order = np.argsort(key, axis=1, kind="stable")
+        out[s:e] = np.take_along_axis(cand, order, axis=1)[:, :r]
+    return out
 
 
 def compute_medoid(emb: np.ndarray) -> int:
@@ -1420,6 +1466,8 @@ def build_graph(
             except OSError:
                 pass
     logger.info("build_graph knn phase: %.1fs (host rss %.1f GB)", time.time() - t0, _rss_gb())
+    if n > EXACT_KNN_MAX_N:
+        _trim_host("knn")
 
     if reverse_candidates > 0 and n > 1:
         t0 = time.time()
@@ -1433,6 +1481,7 @@ def build_graph(
     blk = max(8, (min(prune_block, int((256 << 20) / max(cw * cw * 4, 1))) // 8) * 8)
     np_total = _bucket_rows(n, blk)
     cand_h = _pad_rows(knn_ids, np_total, fill=-1)  # host-resident; sliced per dispatch
+    del knn_ids  # cand_h is a padded copy when bucketing grew the row count
     # chunk dispatches (~128K rows each) so none outlives the tunnel watchdog
     rows_per_dispatch = max(blk, (131072 // blk) * blk)
     neighbors = np.empty((np_total, r), np.int32)
@@ -1507,11 +1556,14 @@ def build_graph(
             neighbors[s : s + nb * blk] = np.asarray(sel)
             if di % 16 == 15:
                 logger.info("prune: %d/%d rows (%.0fs)", s + nb * blk, np_total, time.time() - t0)
-    neighbors = neighbors[:n]
+    neighbors = np.ascontiguousarray(neighbors[:n])  # drop the padded base
+    del cand_h
     if prune_path:
         _ckpt_save(prune_path, f"{key}_r{r}_a{alpha}_kc{keep_closest}{rc_tag}", neighbors)
     logger.info("build_graph prune phase: %.1fs (pq=%s, host rss %.1f GB)",
                 time.time() - t0, pq_mode, _rss_gb())
+    if n > EXACT_KNN_MAX_N:
+        _trim_host("prune")
 
     out = _fill_reverse_edges(neighbors, np.random.default_rng(0))
     medoid = compute_medoid(emb)
