@@ -456,7 +456,11 @@ def measure_scale_tier(dirname, tag, points=((512, 128), (1024, 128), (2048, 256
             from scale_500k import synth_corpus
 
             t0 = time.time()
-            chunks = synth_corpus(n, np.random.default_rng(0))
+            cpath = os.path.join(tier, "chunks.txt")  # scale_10m.py corpus cache
+            if os.path.exists(cpath):
+                chunks = open(cpath, encoding="utf-8").read().split("\n")[:n]
+            else:
+                chunks = synth_corpus(n, np.random.default_rng(0))
             pq, _ = make_queries(chunks, len(queries), seed=7, mode="perturbed")
             del chunks
             pqv = enc.encode(pq)

@@ -100,7 +100,25 @@ def main():
     qpath = os.path.join(out_dir, "queries.json")
 
     t0 = time.time()
-    chunks = synth_corpus(args.n_chunks, rng)  # deterministic: cheap to regen on resume
+    # chunk cache: synth_corpus costs ~10 min at 10M and every supervisor
+    # retry pays it before reaching the phase it actually resumes — the text
+    # reloads ~10x faster than it regenerates. Queries must come from the
+    # cache too (their rng draw happens AFTER synth_corpus consumed the
+    # stream, so a cache hit can't reproduce it).
+    cpath, cmeta = os.path.join(out_dir, "chunks.txt"), os.path.join(out_dir, "chunks.json")
+    want_c = {"n": args.n_chunks, "gen": "synth_corpus_v1"}
+    queries = None
+    if os.path.exists(cpath) and jload(cmeta) == want_c and jload(qpath):
+        chunks = open(cpath, encoding="utf-8").read().split("\n")[: args.n_chunks]
+        queries = jload(qpath)
+        print("resuming: corpus text from cache", flush=True)
+    else:
+        chunks = synth_corpus(args.n_chunks, rng)
+        if args.out_dir:  # one-shot tmpdir runs skip the 2.7-26 GB write
+            with open(cpath + ".tmp", "w", encoding="utf-8") as f:
+                f.write("\n".join(chunks))
+            os.replace(cpath + ".tmp", cpath)
+            json.dump(want_c, open(cmeta, "w"))
     phases["corpus_s"] = round(time.time() - t0, 1)
     print(f"[{phases['corpus_s']}s] corpus: {len(chunks)} (rss {rss_gb():.1f} GB)", flush=True)
 
@@ -143,8 +161,9 @@ def main():
 
     # ---- exact oracle (cached; keyed on the embedding meta too — truth from
     # an f32 run must not survive into an f16 rerun of the same out-dir) -----
-    q_idx = rng.choice(len(chunks), args.n_queries, replace=False)
-    queries = [" ".join(chunks[i].split()[:12]) for i in q_idx]
+    if queries is None:
+        q_idx = rng.choice(len(chunks), args.n_queries, replace=False)
+        queries = [" ".join(chunks[i].split()[:12]) for i in q_idx]
     tmeta = os.path.join(out_dir, "truth_meta.json")
     if os.path.exists(tpath) and jload(qpath) == queries and jload(tmeta) == want:
         truth = np.load(tpath)

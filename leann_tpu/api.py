@@ -27,6 +27,7 @@ On-disk layout per index prefix ``<dir>/<name>.leann``:
 
 from __future__ import annotations
 
+import hashlib
 import json
 import logging
 import os
@@ -148,9 +149,35 @@ class PassageManager:
         return self.filter_engine.apply_filters(results, filters)
 
 
+def _passages_fingerprint(chunks: List[Dict[str, Any]]) -> str:
+    """O(1) content key for resume skips: first + last row, serialized the
+    way they land in the jsonl (id, text, metadata all participate)."""
+    h = hashlib.sha1()
+    for c in (chunks[0], chunks[-1]):
+        h.update(json.dumps({"id": c["id"], "text": c["text"], "metadata": c.get("metadata", {})},
+                            ensure_ascii=False).encode("utf-8"))
+    return h.hexdigest()[:16]
+
+
 def _write_passages(chunks: List[Dict[str, Any]], prefix: str) -> Dict[str, Any]:
     passages_path = f"{prefix}.passages.jsonl"
     idx_path = f"{prefix}.passages.idx"
+    done_path = f"{prefix}.passages.done.json"
+    src = {"type": "jsonl", "path": passages_path, "index_path": idx_path, "count": len(chunks)}
+    # resume skip: rewriting the store costs minutes at 10M+ rows (5+ GB of
+    # jsonl + a pickled offset map) and supervised scale builds re-enter this
+    # path on every retry. The .done sidecar is written only after both files
+    # are complete and keys on count + byte size + first/last-row content.
+    if chunks and os.path.exists(passages_path) and os.path.exists(idx_path):
+        try:
+            got = json.load(open(done_path))
+        except Exception:
+            got = None
+        if (got and got.get("count") == len(chunks)
+                and got.get("fp") == _passages_fingerprint(chunks)
+                and got.get("bytes") == os.path.getsize(passages_path)):
+            logger.info("passages store up to date (%d rows): skipping rewrite", len(chunks))
+            return src
     offsets: Dict[str, int] = {}
     with open(passages_path, "wb") as f:
         for c in chunks:
@@ -160,7 +187,11 @@ def _write_passages(chunks: List[Dict[str, Any]], prefix: str) -> Dict[str, Any]
             f.write(b"\n")
     with open(idx_path, "wb") as f:
         pickle.dump(offsets, f)
-    return {"type": "jsonl", "path": passages_path, "index_path": idx_path, "count": len(chunks)}
+    if chunks:
+        with open(done_path, "w") as f:
+            json.dump({"count": len(chunks), "fp": _passages_fingerprint(chunks),
+                       "bytes": os.path.getsize(passages_path)}, f)
+    return src
 
 
 class LeannBuilder:
@@ -416,11 +447,23 @@ class LeannBuilder:
             return
         if not texts:
             return
+        done_path = f"{prefix}.tokens.cache.done.json"
+        want = {"count": len(texts), "model": self.embedding_model,
+                "max_length": self.max_length,
+                "fp": hashlib.sha1((texts[0] + "\x00" + texts[-1]).encode("utf-8")).hexdigest()[:16]}
+        try:  # resume skip — tokenizing 10M+ rows costs minutes per retry
+            if json.load(open(done_path)) == want:
+                logger.info("token cache up to date (%d rows): skipping rewrite", len(texts))
+                return
+        except Exception:
+            pass
         from .embeddings.encoder import get_encoder
 
         enc = get_encoder(self.embedding_model, max_length=self.max_length)
         tok, lengths = tokenize_corpus(texts, enc)
         write_token_cache(prefix, tok, lengths)
+        with open(done_path, "w") as f:
+            json.dump(want, f)
 
     @staticmethod
     def _is_unit_norm(embeddings: np.ndarray, tol: float = 3e-3) -> bool:

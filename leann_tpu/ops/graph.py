@@ -156,10 +156,44 @@ def _panel_topk(neg_d: jnp.ndarray, k: int, approx_recall: float):
     return fv, jnp.take_along_axis(si.reshape(qb_, n_seg * kseg), fp, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "qb", "tile", "n_qblocks", "approx_recall"))
+def _knn_panel_impl() -> str:
+    """Panel implementation for the exact-KNN sweeps: "xla" (dot_general +
+    approx_max_k over the full [qb, tile] panel) or "pallas" (fused VMEM
+    distance + bucket-argmin kernel — the raw panel never touches HBM, see
+    ops/pallas_knn.py). "pallas_interpret" runs the kernel in interpret mode
+    (CPU tests)."""
+    return os.environ.get("LEANN_KNN_PANEL", "xla")
+
+
+def _panel_winners(panel: str, qe, qn, cshard, cn2, ti, tile: int,
+                   t_strip: int, col_start, col_end_real, q_start0,
+                   k: int, approx_recall: float):
+    """Pallas path of one [qb, tile] panel: fold to [qb, tile//128] bucket
+    winners in VMEM, then top-k the winner row. Drop-in for the XLA
+    dot_general + mask + _panel_topk body (identical output contract)."""
+    from .pallas_knn import panel_bucketmin_call
+
+    meta = jnp.stack([
+        (ti * (tile // t_strip)).astype(jnp.int32),
+        jnp.asarray(col_start, jnp.int32),
+        jnp.asarray(col_end_real, jnp.int32),
+        jnp.asarray(q_start0, jnp.int32),
+    ])
+    bv, bi = panel_bucketmin_call(
+        meta, qe, cshard, cn2, tile=tile, t_strip=t_strip,
+        interpret=(panel == "pallas_interpret"))
+    # the kernel omits the |q|^2 per-row constant (ranking-neutral); restore
+    # it so the merged running distances stay true squared L2
+    bv = bv + qn[:, None].astype(jnp.float32)
+    neg_t, pos_t = _panel_topk(-bv, k, approx_recall)
+    return neg_t, jnp.take_along_axis(bi, pos_t, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "qb", "tile", "n_qblocks", "approx_recall", "panel", "t_strip"))
 def _exact_knn_device(emb: jnp.ndarray, n_real: jnp.ndarray, q_start: jnp.ndarray,
                       k: int, qb: int, tile: int, n_qblocks: int,
-                      approx_recall: float = 1.0):
+                      approx_recall: float = 1.0, panel: str = "xla",
+                      t_strip: int = 1024):
     """KNN for ``n_qblocks * qb`` query rows starting at ``q_start`` against
     the whole (padded) corpus. Chunked by the caller: a single dispatch
     covering all of N² runs for minutes at N=500K+, long enough to trip the
@@ -170,6 +204,7 @@ def _exact_knn_device(emb: jnp.ndarray, n_real: jnp.ndarray, q_start: jnp.ndarra
     # would otherwise accumulate norms in f16); no-op convert for f32 inputs
     norms = jnp.sum(jnp.square(emb.astype(jnp.float32)), axis=1)  # f32 [Np]
     n_tiles = np_total // tile
+    cn2 = norms.reshape(-1, t_strip) if panel != "xla" else None
 
     def panel_topk(neg_d, k):
         return _panel_topk(neg_d, k, approx_recall)
@@ -182,6 +217,14 @@ def _exact_knn_device(emb: jnp.ndarray, n_real: jnp.ndarray, q_start: jnp.ndarra
 
         def t_body(tc, ti):
             run_d, run_i = tc
+            if panel != "xla":
+                neg_t, ids_t = _panel_winners(
+                    panel, qe, qn, ebf, cn2, ti, tile, t_strip,
+                    jnp.int32(0), n_real, qs, k, approx_recall)
+                all_d = jnp.concatenate([run_d, -neg_t], axis=1)
+                all_i = jnp.concatenate([run_i, ids_t], axis=1)
+                neg, pos = jax.lax.top_k(-all_d, k)
+                return (-neg, jnp.take_along_axis(all_i, pos, axis=1)), None
             ts = ti * tile
             te = jax.lax.dynamic_slice(ebf, (ts, 0), (tile, d))
             tn = jax.lax.dynamic_slice(norms, (ts,), (tile,))
@@ -229,6 +272,13 @@ def exact_knn(
     np_total = _bucket_rows(n, tile)
     if approx_recall is None:
         approx_recall = 0.99 if n >= APPROX_KNN_MIN_N else 1.0
+    panel, t_strip = _knn_panel_impl(), 1024
+    if panel != "xla":
+        from .pallas_knn import pick_t_strip
+
+        t_strip = pick_t_strip(tile)
+        if not t_strip:  # tile not 128-aligned — kernel can't strip it
+            panel, t_strip = "xla", 1024
     emb_d = jnp.asarray(_pad_rows(emb, np_total))
     # bound each dispatch to ~2e10 query×corpus pairs (~15 s on v5e) so the
     # tunnel watchdog never sees a minutes-long program
@@ -240,7 +290,7 @@ def exact_knn(
         nb = min(rows_per_dispatch, np_total - qs) // qb
         ids, dists = _exact_knn_device(
             emb_d, jnp.int32(n), jnp.int32(qs), k, qb, tile, n_qblocks=nb,
-            approx_recall=float(approx_recall),
+            approx_recall=float(approx_recall), panel=panel, t_strip=t_strip,
         )
         out_i[qs : qs + nb * qb] = np.asarray(ids)
         out_d[qs : qs + nb * qb] = np.asarray(dists)
@@ -262,10 +312,18 @@ EXACT_SHARD_BYTES = int(os.environ.get("LEANN_EXACT_SHARD_BYTES", str(7 << 30)))
 # the qchunk watermark recorded this often so a wedge resumes mid-shard.
 QCKPT_SECS = float(os.environ.get("LEANN_EXACT_QCKPT_SECS", "300"))
 
+# Query rows per sharded-KNN dispatch. 32K rows x ~10M columns is a ~20 s
+# device program — long enough to amortize the tunnel round-trip, short
+# enough not to look wedged to the remote worker (the small-N exact path
+# documents ~15 s as the safe program length; 131072 rows measured 78 s/
+# dispatch at 10M and the worker crashed mid-sweep more than once).
+EXACT_QCHUNK = int(os.environ.get("LEANN_EXACT_QCHUNK", str(32768)))
+
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "qb", "tile", "n_qblocks", "approx_recall", "q_in_shard"),
+    static_argnames=("k", "qb", "tile", "n_qblocks", "approx_recall", "q_in_shard",
+                     "panel", "t_strip"),
 )
 def _exact_knn_shard_device(
     cshard: jnp.ndarray,   # bf16 [M, D] column slab (M a multiple of tile)
@@ -279,6 +337,7 @@ def _exact_knn_shard_device(
     n_real_cols: jnp.ndarray,  # scalar i32 — real (un-padded) columns in shard
     k: int, qb: int, tile: int, n_qblocks: int,
     approx_recall: float, q_in_shard: bool,
+    panel: str = "xla", t_strip: int = 1024,
 ):
     """One (query-chunk × column-shard) pass: fold the shard's distances into
     the chunk's running top-k. The caller sweeps shards, feeding each chunk's
@@ -288,6 +347,8 @@ def _exact_knn_shard_device(
     uploading a second copy of every row."""
     d = cshard.shape[1]
     n_tiles = cshard.shape[0] // tile
+    cbf = cshard.astype(jnp.bfloat16) if panel != "xla" else cshard
+    cn2 = cnorms.reshape(-1, t_strip) if panel != "xla" else None
 
     def q_block(carry, qi):
         qs = qi * qb
@@ -303,6 +364,15 @@ def _exact_knn_shard_device(
 
         def t_body(tc, ti):
             rd, ri = tc
+            if panel != "xla":
+                neg_t, ids_t = _panel_winners(
+                    panel, qe.astype(cbf.dtype), qn, cbf, cn2, ti, tile,
+                    t_strip, col_start, col_start + n_real_cols,
+                    q_start + qs, k, approx_recall)
+                all_d = jnp.concatenate([rd, -neg_t], axis=1)
+                all_i = jnp.concatenate([ri, ids_t], axis=1)
+                neg, pos = jax.lax.top_k(-all_d, k)
+                return (-neg, jnp.take_along_axis(all_i, pos, axis=1)), None
             ts = ti * tile
             te = jax.lax.dynamic_slice(cshard, (ts, 0), (tile, d))
             tn = jax.lax.dynamic_slice(cnorms, (ts,), (tile,))
@@ -330,7 +400,7 @@ def _exact_knn_shard_device(
 
 def exact_knn_sharded(
     emb: np.ndarray, k: int, query_block: int = 1024, tile: int = 131072,
-    qchunk: int = 131072, shard_bytes: "int | None" = None,
+    qchunk: "int | None" = None, shard_bytes: "int | None" = None,
     approx_recall: "float | None" = None, checkpoint_dir: str = "",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact k-NN for corpora whose bf16 matrix exceeds HBM: the matrix stays
@@ -355,10 +425,19 @@ def exact_knn_sharded(
     tile = max(qb, (min(tile, _bucket_rows(n, qb)) // qb) * qb)
     rows_per_shard = max(tile, (int(shard_bytes // (2 * d)) // tile) * tile)
     n_shards = (n + rows_per_shard - 1) // rows_per_shard
-    qchunk = max(qb, (qchunk // qb) * qb)
+    qchunk = max(qb, ((qchunk or EXACT_QCHUNK) // qb) * qb)
     np_total = _bucket_rows(n, qb)
     if approx_recall is None:
         approx_recall = 0.99 if n >= APPROX_KNN_MIN_N else 1.0
+    panel, t_strip = _knn_panel_impl(), 1024
+    if panel != "xla":
+        from .pallas_knn import pick_t_strip
+
+        t_strip = pick_t_strip(tile)
+        if not t_strip:
+            panel, t_strip = "xla", 1024
+        else:
+            logger.info("exact_knn_sharded: pallas panel kernel, t_strip=%d", t_strip)
 
     # running state, host-resident between shards (memmapped when huge)
     sd_path = os.path.join(checkpoint_dir, "exknn_state_d.npy") if checkpoint_dir else ""
@@ -461,6 +540,7 @@ def exact_knn_sharded(
                 jnp.int32(qs), jnp.int32(cs), jnp.int32(ce - cs),
                 k=k, qb=qb, tile=tile, n_qblocks=nqb,
                 approx_recall=float(approx_recall), q_in_shard=bool(q_in),
+                panel=panel, t_strip=t_strip,
             )
             run_d[qs:qe_] = np.asarray(rd)
             run_i[qs:qe_] = np.asarray(ri)

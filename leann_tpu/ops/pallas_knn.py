@@ -1,0 +1,193 @@
+"""Fused distance + bucket-argmin Pallas kernel for the exact-KNN sweeps.
+
+The XLA panel path in ops/graph.py (``_exact_knn_shard_device``) computes a
+[qb, tile] f32 distance panel with one dot_general and reduces it with
+``approx_max_k``. Measured on the v5e (2026-08-19, qb=1024 tile=131072 d=384):
+the matmul alone runs at ~27 TFLOP/s because the 512 MB panel round-trips
+through HBM, and approx_max_k adds ~4.9 ms — 8.7 ms/panel, 10x off the MXU
+speed-of-light. At 10M rows that is a 78 s query-chunk and a ~1.7 h sweep;
+the reference never faces this shape (its KNN is sequential CPU inserts,
+hnsw_backend.py:83-89).
+
+This kernel keeps the panel in VMEM: each grid step matmuls a [qb, T] strip
+and folds it into 128 lane-buckets via a running elementwise argmin (bucket
+``b`` of strip ``s`` holds columns ``{s*T + a*128 + b}``) — the only HBM
+traffic is the corpus strip itself plus a [qb, 128] winner row per step. A
+final ``approx_max_k`` over the [qb, (tile/t_strip)*128] winners (t_strip/128
+= 8x narrower than the raw panel at the default strip) picks the per-tile
+top-k outside the kernel.
+
+Approximation: a column can only be selected if it wins its 128-wide stride
+bucket within its strip (t_strip/128 competitors per bucket). For a candidate
+ranked r among N corpus rows the loss probability is < (t_strip/128 - 1) *
+r / N — at 10M rows, r <= 64, t_strip = 1024 that is ~4.5e-5 per entry,
+noise against the sweep's 0.99 approx_max_k target. Candidate generation
+feeding the alpha-prune tolerates far worse (the prune sees c = 2R
+candidates and keeps R).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INF = float("inf")  # plain float: a jnp scalar would be a captured constant in the kernel
+
+# lane width of the bucket fold — one VPU register row, and the minimum
+# efficient trailing dim on TPU
+_LANES = 128
+
+
+def _kernel(meta_ref, q_ref, c_ref, cn_ref, ov_ref, oi_ref):
+    """One [qb, T] strip: distances + running 128-lane bucket argmin.
+
+    Distances here omit the per-query-row squared norm (a per-row CONSTANT:
+    it moves neither the bucket argmin nor any later within-row top-k; the
+    caller adds it back to the winner values outside the kernel, which also
+    keeps awkward [qb, 1] operand blocks out of Mosaic).
+
+    meta (SMEM i32[4]): [block_off, col_start, col_end_real, q_start]
+      block_off     — first strip of this call, in units of T rows of cshard
+      col_start     — global id of cshard row 0 (column shard offset)
+      col_end_real  — col_start + number of real (un-padded) shard rows
+      q_start       — global id of query row 0 of this block
+    """
+    qb, d = q_ref.shape
+    t = c_ref.shape[0]
+    s = pl.program_id(0)
+    col0 = meta_ref[1] + (meta_ref[0] + s) * t
+
+    dots = jax.lax.dot_general(
+        q_ref[:], c_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dmat = cn_ref[:] - 2.0 * dots  # [qb, T] squared l2 minus the |q|^2 row constant
+    ids = col0 + jax.lax.broadcasted_iota(jnp.int32, (qb, t), 1)
+    q_ids = meta_ref[3] + jax.lax.broadcasted_iota(jnp.int32, (qb, t), 0)
+    dmat = jnp.where((ids >= meta_ref[2]) | (ids == q_ids), INF, dmat)
+
+    # fold T columns into 128 lanes: slab a = columns [a*128, a*128+128);
+    # pure elementwise min/where over [qb, 128] slabs — no cross-lane traffic
+    # (static lane-aligned slices, not a sublane reshape, so Mosaic keeps the
+    # fold in vregs)
+    n_slab = t // _LANES
+    bv = dmat[:, :_LANES]
+    ba = jnp.zeros((qb, _LANES), jnp.int32)
+    for a in range(1, n_slab):
+        sl = dmat[:, a * _LANES : (a + 1) * _LANES]
+        upd = sl < bv
+        bv = jnp.where(upd, sl, bv)
+        ba = jnp.where(upd, a, ba)
+    ov_ref[:] = bv
+    oi_ref[:] = col0 + ba * _LANES + jax.lax.broadcasted_iota(
+        jnp.int32, (qb, _LANES), 1)
+
+
+def panel_bucketmin_call(
+    meta: jnp.ndarray,     # i32 [4]: [block_off, col_start, col_end_real, q_start]
+    qe: jnp.ndarray,       # bf16 [qb, D] query rows
+    cshard: jnp.ndarray,   # bf16 [M, D] device-resident column slab (M % t_strip == 0)
+    cn2: jnp.ndarray,      # f32 [M // t_strip, t_strip] column squared norms
+    tile: int = 131072,    # columns covered per call
+    t_strip: int = 1024,   # columns per grid step (VMEM strip)
+    interpret: bool = False,
+):
+    """Raw pallas_call form — safe to invoke inside an enclosing jit / scan
+    (all of ``meta`` may be traced). -> (vals f32 [qb, w], ids i32 [qb, w])
+    with w = (tile//t_strip)*128: per-bucket winners of the [qb, tile]
+    distance panel starting at strip ``meta[0]``. Values OMIT the per-row
+    |q|² constant (see _kernel) — add ``qn[:, None]`` for true squared L2.
+    Feed to approx_max_k / top_k for the per-tile top-k (t_strip/128-fold
+    narrower than the raw panel, which itself never leaves VMEM)."""
+    qb, d = qe.shape
+    assert tile % t_strip == 0 and t_strip % _LANES == 0
+    n_steps = tile // t_strip
+    w = n_steps * _LANES  # 128 winners per strip -> t_strip/128-fold narrowing
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((qb, d), lambda s, m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_strip, d), lambda s, m: (m[0] + s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_strip), lambda s, m: (m[0] + s, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((qb, _LANES), lambda s, m: (0, s), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, _LANES), lambda s, m: (0, s), memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((qb, w), jnp.float32),
+            jax.ShapeDtypeStruct((qb, w), jnp.int32),
+        ],
+        interpret=interpret,
+    )(meta, qe, cshard, cn2)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile", "t_strip", "interpret"),
+)
+def panel_bucketmin(
+    qe: jnp.ndarray,       # bf16 [qb, D] query rows
+    qn: jnp.ndarray,       # f32 [qb] query squared norms
+    cshard: jnp.ndarray,   # bf16 [M, D] device-resident column slab (M % tile == 0)
+    cnorms: jnp.ndarray,   # f32 [M]
+    block_off: jnp.ndarray,   # i32 — first strip, in units of t_strip rows
+    col_start: jnp.ndarray,   # i32 — global id of cshard row 0
+    col_end_real: jnp.ndarray,  # i32 — col_start + real rows in shard
+    q_start: jnp.ndarray,     # i32 — global id of qe row 0
+    tile: int = 131072,
+    t_strip: int = 1024,
+    interpret: bool = False,
+):
+    """Standalone jitted wrapper of :func:`panel_bucketmin_call` (benchmarks
+    and tests; the KNN sweeps call the raw form inside their own scans)."""
+    meta = jnp.stack([block_off.astype(jnp.int32), col_start.astype(jnp.int32),
+                      col_end_real.astype(jnp.int32), q_start.astype(jnp.int32)])
+    bv, bi = panel_bucketmin_call(meta, qe, cshard, cnorms.reshape(-1, t_strip),
+                                  tile=tile, t_strip=t_strip, interpret=interpret)
+    return bv + qn[:, None].astype(jnp.float32), bi
+
+
+def pick_t_strip(tile: int, cap: int = 1024) -> int:
+    """Largest multiple of 128 that divides ``tile`` (capped at ``cap``);
+    0 when tile is not 128-aligned — caller falls back to the XLA panel."""
+    if tile % _LANES:
+        return 0
+    s = (min(cap, tile) // _LANES) * _LANES
+    while s > _LANES and tile % s:
+        s -= _LANES
+    return s
+
+
+def panel_bucketmin_ref(qe, qn, cshard, cnorms, block_off, col_start,
+                        col_end_real, q_start, tile=131072, t_strip=1024):
+    """Pure-jnp mirror of the kernel's bucket semantics (CPU path / tests)."""
+    qb = qe.shape[0]
+    c0 = block_off * t_strip
+    cs = jax.lax.dynamic_slice_in_dim(cshard, c0, tile, 0)
+    cn = jax.lax.dynamic_slice_in_dim(cnorms, c0, tile, 0)
+    dots = jax.lax.dot_general(qe, cs, dimension_numbers=(((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dmat = qn[:, None] + cn[None, :] - 2.0 * dots
+    ids = col_start + c0 + jax.lax.broadcasted_iota(jnp.int32, dmat.shape, 1)
+    q_ids = q_start + jnp.arange(qb, dtype=jnp.int32)
+    dmat = jnp.where((ids >= col_end_real) | (ids == q_ids[:, None]), INF, dmat)
+    # same bucket partition: within each t_strip, lane b of slab a = col a*128+b
+    n_steps = tile // t_strip
+    n_slab = t_strip // _LANES
+    dm = dmat.reshape(qb, n_steps, n_slab, _LANES)
+    im = ids.reshape(qb, n_steps, n_slab, _LANES)
+    a = jnp.argmin(dm, axis=2)
+    bv = jnp.take_along_axis(dm, a[:, :, None, :], axis=2)[:, :, 0, :]
+    bi = jnp.take_along_axis(im, a[:, :, None, :], axis=2)[:, :, 0, :]
+    return bv.reshape(qb, -1), bi.reshape(qb, -1)
