@@ -58,18 +58,39 @@ def ensure_oracle(out_dir: str, n_chunks: int, n_queries: int, max_length: int) 
 
     enc = get_encoder("hash-minilm", max_length=max_length)
     emb_path = os.path.join(out_dir, "emb_f16.npy")
-    if os.path.exists(emb_path):
-        # embeddings cached from a prior (partial) run: only queries/truth left
-        rng = np.random.default_rng(0)
-        chunks = synth_corpus(n_chunks, rng)
-        q_idx = rng.choice(len(chunks), n_queries, replace=False)
-        emb = np.load(emb_path).astype(np.float32)
+    # reuse scale_10m.py artifacts when the sweep targets a build out-dir:
+    # emb_norm.npy IS the normalized-f16 matrix (hardlink beats a 36-min
+    # re-encode), chunks.txt the corpus text (reload ~10x faster than regen),
+    # queries.json/truth.npy the recorded prefix-query protocol.
+    scale_emb = os.path.join(out_dir, "emb_norm.npy")
+    if not os.path.exists(emb_path) and os.path.exists(scale_emb):
+        meta = {}
+        try:
+            meta = json.load(open(os.path.join(out_dir, "emb_norm.json")))
+        except Exception:
+            pass
+        if meta.get("dtype") in ("float16", "f16"):
+            os.link(scale_emb, emb_path)
+            print("linked emb_f16.npy <- emb_norm.npy", flush=True)
+    cpath = os.path.join(out_dir, "chunks.txt")
+    from_cache = os.path.exists(cpath)
+    if from_cache:
+        t0 = time.time()
+        chunks = open(cpath, encoding="utf-8").read().split("\n")[:n_chunks]
+        print(f"[{time.time() - t0:.0f}s] corpus {len(chunks)} (from cache)", flush=True)
+        # the recorded q_idx draw happened on the rng AFTER synth_corpus
+        # consumed the stream — unreproducible from a cache hit. prefix12
+        # reuses the tier's saved protocol; the full set draws fresh.
+        q_idx = np.random.default_rng(12345).choice(len(chunks), n_queries, replace=False)
     else:
         rng = np.random.default_rng(0)
         t0 = time.time()
         chunks = synth_corpus(n_chunks, rng)
         print(f"[{time.time() - t0:.0f}s] corpus {len(chunks)}", flush=True)
         q_idx = rng.choice(len(chunks), n_queries, replace=False)
+    if os.path.exists(emb_path):
+        emb = np.load(emb_path, mmap_mode="r")  # host_oracle blocks + casts per block
+    else:
         t0 = time.time()
         emb = enc.encode(chunks, batch_size=4096)
         print(f"[{time.time() - t0:.0f}s] encoded {emb.shape}", flush=True)
@@ -83,6 +104,15 @@ def ensure_oracle(out_dir: str, n_chunks: int, n_queries: int, max_length: int) 
         "prefix12": [" ".join(chunks[i].split()[:12]) for i in q_idx],
         "full": [chunks[i] for i in q_idx],
     }
+    if from_cache:
+        saved_q = os.path.join(out_dir, "queries.json")
+        saved_t = os.path.join(out_dir, "truth.npy")
+        if os.path.exists(saved_q) and os.path.exists(saved_t):
+            sets["prefix12"] = json.load(open(saved_q))
+            tp = os.path.join(out_dir, "truth_prefix12.npy")
+            if not os.path.exists(tp):
+                np.save(tp, np.load(saved_t))
+            print("prefix12 set reused from the tier's recorded protocol", flush=True)
     del chunks
     for name, qs in sets.items():
         tp = os.path.join(out_dir, f"truth_{name}.npy")
@@ -125,6 +155,13 @@ def main():
                     choices=["auto", "device", "host"])
     args = ap.parse_args()
 
+    if args.oracle_only:
+        # oracle staging is host-side work (query encode is 64 rows); pin to
+        # CPU so a background pre-stage never opens a second client against
+        # the tunneled TPU while a build owns it (the known wedge trigger)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     ensure_oracle(args.out_dir, args.n_chunks, args.n_queries, args.max_length)
     if args.oracle_only:
         print("DONE (oracle only)", flush=True)
