@@ -516,6 +516,36 @@ def exact_knn_sharded(
         dummy_n = jnp.zeros((1,), jnp.float32)
         t0 = time.time()
         t_ckpt = time.time()
+
+        # depth-1 dispatch pipeline: chunk i+1 is enqueued (uploads + program)
+        # BEFORE chunk i's results are synced, so the host merge/upload gap
+        # hides under device compute (np.asarray is the only real sync on
+        # this platform; dispatches and transfers queue). Chunks partition
+        # the query rows, so chunk i+1's state slice never depends on chunk
+        # i's writeback. Depth stays 1: at most ~2 programs queued keeps the
+        # tunnel watchdog happy (long queues look like wedged dispatches).
+        pending = None  # (ci, qs, qe_, rd, ri) not yet written back
+
+        def drain(p):
+            nonlocal t_ckpt
+            pci, pqs, pqe, prd, pri = p
+            run_d[pqs:pqe] = np.asarray(prd)
+            run_i[pqs:pqe] = np.asarray(pri)
+            if pci % 16 == 15:
+                logger.info("exact_knn_sharded: shard %d/%d rows %d/%d (%.0fs)",
+                            sh + 1, n_shards, pqe, np_total, time.time() - t0)
+            # intra-shard durability: a single shard spans hours at 10M+ and
+            # the tunneled TPU worker wedges mid-phase; every few minutes the
+            # completed (written-back) qchunks become the resume point
+            if checkpoint_dir and time.time() - t_ckpt > QCKPT_SECS:
+                run_d.flush(); run_i.flush()
+                tmp = meta_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump({"key": key, "shards_done": sh, "qchunks_done": pci + 1,
+                               "rows_per_shard": rows_per_shard, "qchunk": qchunk}, f)
+                os.replace(tmp, meta_path)
+                t_ckpt = time.time()
+
         for ci, qs in enumerate(range(0, np_total, qchunk)):
             if sh == shard_done and ci < q_resume:
                 continue  # durable from the checkpoint; re-merging would dup
@@ -542,22 +572,11 @@ def exact_knn_sharded(
                 approx_recall=float(approx_recall), q_in_shard=bool(q_in),
                 panel=panel, t_strip=t_strip,
             )
-            run_d[qs:qe_] = np.asarray(rd)
-            run_i[qs:qe_] = np.asarray(ri)
-            if ci % 16 == 15:
-                logger.info("exact_knn_sharded: shard %d/%d rows %d/%d (%.0fs)",
-                            sh + 1, n_shards, qe_, np_total, time.time() - t0)
-            # intra-shard durability: a single shard spans hours at 10M+ and
-            # the tunneled TPU worker wedges mid-phase; every few minutes the
-            # completed qchunks become the resume point instead of the shard
-            if checkpoint_dir and time.time() - t_ckpt > QCKPT_SECS:
-                run_d.flush(); run_i.flush()
-                tmp = meta_path + ".tmp"
-                with open(tmp, "w") as f:
-                    json.dump({"key": key, "shards_done": sh, "qchunks_done": ci + 1,
-                               "rows_per_shard": rows_per_shard, "qchunk": qchunk}, f)
-                os.replace(tmp, meta_path)
-                t_ckpt = time.time()
+            if pending is not None:
+                drain(pending)
+            pending = (ci, qs, qe_, rd, ri)
+        if pending is not None:
+            drain(pending)
         del cshard, cnorms
         if checkpoint_dir:
             run_d.flush(); run_i.flush()
