@@ -370,7 +370,8 @@ def measure_dpr21m():
 # SAVED oracle at multiple operating points, on every >=10M cache present)
 # --------------------------------------------------------------------------
 
-def measure_scale_tier(dirname, tag, points=((512, 128), (1024, 128), (2048, 256))):
+def measure_scale_tier(dirname, tag,
+                       points=((512, 128), (1024, 128), (2048, 256), (4096, 256))):
     """Recall/latency curve on a cached scale tier built by
     benchmarks/scale_10m.py --out-dir ~/.cache/leann_tpu_bench/<dirname>
     (resumable; see benchmarks/warm_chain.sh). Skipped when the cache is
