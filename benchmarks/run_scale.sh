@@ -18,7 +18,29 @@ POLL_S=${POLL_S:-120}
 SCRIPT=${SCRIPT:-benchmarks/scale_10m.py}   # overridable for the unit test
 cd "$(dirname "$0")/.."
 
+# Bounded TPU-health gate: a wedged worker makes clients hang in futex wait
+# with no error, so a blind relaunch burns ~40 min of host prep + watchdog
+# wait per attempt. Probe (tiny matmul + the np.asarray sync) before each
+# attempt and poll here — WITHOUT consuming attempts — until the worker
+# answers. PROBE=0 disables (CPU-only runs / tests).
+PROBE=${PROBE:-1}
+PROBE_TIMEOUT=${PROBE_TIMEOUT:-240}
+PROBE_SLEEP=${PROBE_SLEEP:-300}
+tpu_healthy() {
+  timeout "$PROBE_TIMEOUT" python -c "
+import jax, numpy as np
+x = jax.numpy.ones((256, 256), jax.numpy.bfloat16)
+np.asarray(x @ x)
+print('tpu ok')" >> "$LOG" 2>&1
+}
+
 for attempt in $(seq 1 "$ATTEMPTS"); do
+  if [ "$PROBE" = "1" ]; then
+    until tpu_healthy; do
+      echo "=== tpu probe failed (wedged?); waiting ${PROBE_SLEEP}s $(date -u +%FT%TZ) ===" >> "$LOG"
+      sleep "$PROBE_SLEEP"
+    done
+  fi
   echo "=== attempt $attempt $(date -u +%FT%TZ) ===" >> "$LOG"
   python -u "$SCRIPT" --n-chunks "$N" --emb-dtype f16 \
     --out-dir "$OUT" --graph-degree 24 --complexity 1024 "$@" >> "$LOG" 2>&1 &

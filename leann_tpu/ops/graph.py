@@ -501,17 +501,26 @@ def exact_knn_sharded(
         run_d[:] = float(INF)
         run_i[:] = -1
 
+    # heartbeat logs between here and the first progress line: state init
+    # (8 GB memmap fill at 20M), the f16->bf16 slab cast, and the multi-GB
+    # tunnel upload together take tens of minutes at 20M+ — without them the
+    # supervisor's log-stall watchdog reads healthy prep as a wedge
+    logger.info("exact_knn_sharded: state ready (%d rows, %d shards of %d)",
+                np_total, n_shards, rows_per_shard)
     t_all = time.time()
     for sh in range(shard_done, n_shards):
         cs, ce = sh * rows_per_shard, min((sh + 1) * rows_per_shard, n)
         m_pad = _bucket_rows(ce - cs, tile)
         cshard_h = np.zeros((m_pad, d), dtype=jnp.bfloat16)
         cshard_h[: ce - cs] = emb[cs:ce]
+        logger.info("exact_knn_sharded: shard %d/%d uploading %.1f GB slab",
+                    sh + 1, n_shards, m_pad * d * 2 / 1e9)
         cshard = jnp.asarray(cshard_h)
         del cshard_h
         cn = np.zeros(m_pad, np.float32)
         cn[: ce - cs] = np.einsum("ij,ij->i", emb[cs:ce], emb[cs:ce], dtype=np.float32)
         cnorms = jnp.asarray(cn)
+        logger.info("exact_knn_sharded: shard %d/%d slab resident", sh + 1, n_shards)
         dummy_q = jnp.zeros((1, d), jnp.bfloat16)
         dummy_n = jnp.zeros((1,), jnp.float32)
         t0 = time.time()
