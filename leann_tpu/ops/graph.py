@@ -609,6 +609,69 @@ def exact_knn_sharded(
     return out_i, out_d
 
 
+def exact_knn_rows(
+    emb: np.ndarray, rows: np.ndarray, k: int, *,
+    shard_bytes: "int | None" = None, tile: int = 131072,
+    include_self: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact k-NN for a SUBSET of rows against the whole corpus — the sampled
+    oracle that makes approximate candidate generators (nn_descent, spill)
+    validatable at any scale: O(S·N·D) instead of the full pass's O(N²·D)
+    (2048 rows at 60M × 384 is ~9.4e15 bf16 FLOPs, well under a minute of
+    MXU time). Column shards stream through HBM exactly like
+    :func:`exact_knn_sharded`; the S query rows stay device-resident carrying
+    their running top-k. -> (ids i32[S, k], dists f32[S, k]) ascending; the
+    row itself is excluded unless ``include_self``."""
+    n, d = emb.shape
+    rows = np.asarray(rows)
+    s_n = int(rows.shape[0])
+    kk = k if include_self else k + 1
+    qb = int(min(1024, max(8, 1 << (max(s_n, 2) - 1).bit_length())))
+    sp = _bucket_rows(s_n, qb)
+    b32 = np.asarray(emb[rows], dtype=np.float32)
+    qh = np.zeros((sp, d), dtype=jnp.bfloat16)
+    qh[:s_n] = b32
+    qn_h = np.zeros(sp, np.float32)
+    qn_h[:s_n] = np.einsum("ij,ij->i", b32, b32)
+    qrows, qnorms = jnp.asarray(qh), jnp.asarray(qn_h)
+    run_d = jnp.full((sp, kk), INF, jnp.float32)
+    run_i = jnp.full((sp, kk), -1, jnp.int32)
+
+    shard_bytes = shard_bytes or EXACT_SHARD_BYTES
+    tile = max(qb, (min(tile, _bucket_rows(n, qb)) // qb) * qb)
+    rows_per_shard = max(tile, (int(shard_bytes // (2 * d)) // tile) * tile)
+    for cs in range(0, n, rows_per_shard):
+        ce = min(cs + rows_per_shard, n)
+        m_pad = _bucket_rows(ce - cs, tile)
+        cshard_h = np.zeros((m_pad, d), dtype=jnp.bfloat16)
+        cshard_h[: ce - cs] = emb[cs:ce]
+        cn = np.zeros(m_pad, np.float32)
+        blk = 1 << 20
+        for s in range(cs, ce, blk):
+            cb = np.asarray(emb[s : min(s + blk, ce)], dtype=np.float32)
+            cn[s - cs : s - cs + cb.shape[0]] = np.einsum("ij,ij->i", cb, cb)
+        # q_start = n + 1 keeps the kernel's contiguous-id self-exclusion
+        # inert (sampled rows are not contiguous); self is dropped below
+        run_d, run_i = _exact_knn_shard_device(
+            jnp.asarray(cshard_h), jnp.asarray(cn), qrows, qnorms, run_d, run_i,
+            jnp.int32(n + 1), jnp.int32(cs), jnp.int32(ce - cs),
+            k=kk, qb=qb, tile=tile, n_qblocks=sp // qb,
+            approx_recall=1.0, q_in_shard=False, panel="xla", t_strip=1024,
+        )
+        logger.info("exact_knn_rows: shard rows %d-%d merged", cs, ce)
+    out_d = np.array(run_d)[:s_n]  # np.array: jnp buffers are read-only views
+    out_i = np.array(run_i)[:s_n]
+    out_i[out_d >= float(INF)] = -1
+    if not include_self:
+        # stable sort on the self mask keeps ascending order while pushing
+        # the row's own id (if present) past the kept k columns
+        mask = out_i == rows[:, None].astype(np.int32)
+        order = np.argsort(mask, axis=1, kind="stable")
+        out_i = np.take_along_axis(out_i, order, 1)[:, :k]
+        out_d = np.take_along_axis(out_d, order, 1)[:, :k]
+    return out_i, out_d
+
+
 # ---------------------------------------------------------------------------
 # Cluster-bootstrapped init for NN-descent (large corpora)
 # ---------------------------------------------------------------------------
@@ -1073,9 +1136,18 @@ def nn_descent(
         nbrs0 = np.where(nbrs0 >= np.arange(n)[:, None], nbrs0 + 1, nbrs0)  # no self
         dists0 = np.full((n, k), np.float32(3.4e38), np.float32)
     nbrs = jnp.asarray(_pad_rows(nbrs0, np_total, fill=-1))
-    emb_p = jnp.asarray(_pad_rows(emb, np_total))
-    ebf = emb_p.astype(jnp.bfloat16)
-    norms = jnp.sum(jnp.square(emb_p.astype(jnp.float32)), axis=1)
+    # host-side bf16 cast + norms: uploading a padded f32/f16 copy only to
+    # cast it on device doubles the HBM high-water (15.4 GB transient at
+    # 10M × 384 f16) — near-HBM corpora need the slab to arrive bf16
+    ebf_h = np.zeros((np_total, d), dtype=jnp.bfloat16)
+    norms_h = np.zeros(np_total, np.float32)
+    for s in range(0, n, 1 << 20):
+        b32 = np.asarray(emb[s : s + (1 << 20)], dtype=np.float32)
+        ebf_h[s : s + b32.shape[0]] = b32
+        norms_h[s : s + b32.shape[0]] = np.einsum("ij,ij->i", b32, b32)
+    ebf = jnp.asarray(ebf_h)
+    del ebf_h
+    norms = jnp.asarray(norms_h)
     dists = jnp.asarray(_pad_rows(dists0, np_total, fill=np.float32(3.4e38)))
     base_key = jax.random.key(seed)
     rev_jit = jax.jit(_reverse_edges_device, static_argnames=("cap",))
@@ -1538,7 +1610,8 @@ def build_graph(
     knn_path = prune_path = key = None
     if checkpoint_dir:
         os.makedirs(checkpoint_dir, exist_ok=True)
-        key = _ckpt_key(emb, f"c{c}ex" if knn_mode == "exact" else f"c{c}")
+        key = _ckpt_key(
+            emb, {"exact": f"c{c}ex", "descent": f"c{c}nd"}.get(knn_mode, f"c{c}"))
         knn_path = os.path.join(checkpoint_dir, "ckpt_knn.npy")
         prune_path = os.path.join(checkpoint_dir, "ckpt_pruned.npy")
         done = _ckpt_load(prune_path, f"{key}_r{r}_a{alpha}_kc{keep_closest}{rc_tag}")
@@ -1558,6 +1631,14 @@ def build_graph(
         # recall measured 13% at 10M (fine-grained k-means + 2 probes misses
         # neighbors at ~45°); prefer the exact sharded pass below
         knn_ids, _ = spill_knn_streamed(emb, c, scratch_dir=checkpoint_dir)
+    elif knn_mode == "descent":
+        # approximate candidates when even the sharded exact pass is too
+        # slow (its cost is O(N²·D); descent is O(N·C·D) per round): cluster-
+        # bootstrapped NN-descent. Needs the full bf16 matrix in HBM
+        # (~46 GB at 60M — pod-sized); validate candidate recall with
+        # benchmarks/validate_descent.py (sampled exact oracle) before
+        # trusting a new scale
+        knn_ids, _ = nn_descent(emb, c)
     elif n > EXACT_KNN_MAX_N:
         # single-chip HBM can't hold the matrix, but O(N²) brute force on the
         # MXU is still the fastest *and* exact option well past 10M — the

@@ -506,3 +506,50 @@ class TestExactKnnSharded:
         monkeypatch.setenv("LEANN_KNN_MODE", "spill")
         G.build_graph(emb, r=8)
         assert seen == ["exact", "spill"]
+
+
+class TestExactKnnRows:
+    """Sampled-row exact oracle (exact_knn_rows) — the cheap validation gate
+    for approximate candidate generators at 10M-60M scale."""
+
+    def test_matches_full_exact(self, rng):
+        from leann_tpu.ops.graph import exact_knn, exact_knn_rows
+
+        n, d, k = 3000, 32, 8
+        emb = rng.standard_normal((n, d)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        full_i, full_d = exact_knn(emb, k, query_block=256, tile=1024,
+                                   approx_recall=1.0)
+        rows = np.sort(rng.choice(n, 64, replace=False))
+        # shard_bytes forces multiple column shards through the merge path
+        ri, rd = exact_knn_rows(emb, rows, k, shard_bytes=512 * 2 * d, tile=512)
+        assert (ri == full_i[rows]).all()
+        assert np.abs(rd - full_d[rows]).max() < 1e-4
+
+    def test_include_self(self, rng):
+        from leann_tpu.ops.graph import exact_knn_rows
+
+        n, d = 1000, 16
+        emb = rng.standard_normal((n, d)).astype(np.float32)
+        rows = np.arange(0, n, 97)
+        ri, rd = exact_knn_rows(emb, rows, 4, include_self=True, tile=512)
+        assert (ri[:, 0] == rows).all()  # self distance ~0 wins every row
+        # bf16 dots on unnormalized vectors (|x|^2 ~ 16) leave ~0.1 residue
+        assert np.abs(rd[:, 0]).max() < 0.3
+
+    def test_f16_memmap_input(self, rng, tmp_path):
+        """Tier matrices arrive as f16 memmaps beyond ~12M chunks; the oracle
+        must accept them directly (blockwise f32 casts, no full-size copy)."""
+        from leann_tpu.ops.graph import exact_knn_rows
+
+        n, d, k = 2000, 16, 6
+        emb = rng.standard_normal((n, d)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        p = tmp_path / "emb.npy"
+        np.save(p, emb.astype(np.float16))
+        mm = np.load(p, mmap_mode="r")
+        rows = np.sort(rng.choice(n, 32, replace=False))
+        ri, _ = exact_knn_rows(mm, rows, k, tile=512)
+        ri32, _ = exact_knn_rows(emb, rows, k, tile=512)
+        agree = (ri == ri32).mean()
+        assert agree > 0.9, f"f16 id agreement {agree}"
