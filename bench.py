@@ -160,37 +160,48 @@ def ensure_tier2():
     return prefix, queries, truth
 
 
-def ensure_tier2_perturbed(prefix):
-    """Held-out perturbed queries + their exact oracle for the 100K tier
-    (second protocol next to chunk prefixes — VERDICT r2 #2/#3). Cached next
-    to the index; one encode of the corpus on first run."""
+def ensure_tier2_heldout(prefix):
+    """Held-out query protocols for the 100K tier: 'perturbed' (dropout/
+    reorder over the source words — VERDICT r2 #2/#3) and 'question'
+    (NL-question templates over whole-chunk entities — the HEADLINE protocol,
+    VERDICT r3 #6; reference protocol: natural NQ-open questions,
+    /root/reference/benchmarks/run_evaluation.py:196-199). Both oracles are
+    cached next to the index and share ONE corpus encode on first run.
+    -> {mode: (queries, truth)}."""
     from bench_common import make_queries
 
     from leann_tpu.embeddings.encoder import get_encoder
 
     tier_dir = os.path.dirname(prefix)
-    qp = os.path.join(tier_dir, "queries_perturbed.json")
-    tp = os.path.join(tier_dir, "truth_perturbed.npy")
-    if os.path.exists(qp) and os.path.exists(tp):
-        return json.load(open(qp)), np.load(tp)
+    paths = {m: (os.path.join(tier_dir, f"queries_{m}.json"),
+                 os.path.join(tier_dir, f"truth_{m}.npy"))
+             for m in ("perturbed", "question")}
+    if all(os.path.exists(qp) and os.path.exists(tp) for qp, tp in paths.values()):
+        return {m: (json.load(open(qp)), np.load(tp)) for m, (qp, tp) in paths.items()}
     from scale_500k import synth_corpus
 
     rng = np.random.default_rng(0)
     chunks = synth_corpus(TIER2_N, rng)
-    queries, _ = make_queries(chunks, 64, seed=7, mode="perturbed")
+    qsets = {m: make_queries(chunks, 64, seed=7, mode=m)[0]
+             for m in ("perturbed", "question")}
     metric = json.load(open(prefix + ".meta.json"))["distance_metric"]
     enc = get_encoder(TIER2_MODEL, max_length=128)
     t0 = time.time()
     emb = enc.encode(chunks)
-    qe = enc.encode(queries)
     if metric == "cosine":
         emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
-        qe /= np.maximum(np.linalg.norm(qe, axis=1, keepdims=True), 1e-12)
-    truth = np.argsort(-qe @ emb.T, axis=1)[:, :3].astype(np.int32)
-    log(f"tier2 perturbed oracle computed in {time.time()-t0:.0f}s")
-    json.dump(queries, open(qp, "w"))
-    np.save(tp, truth)
-    return queries, truth
+    out = {}
+    for m, queries in qsets.items():
+        qe = enc.encode(queries)
+        if metric == "cosine":
+            qe /= np.maximum(np.linalg.norm(qe, axis=1, keepdims=True), 1e-12)
+        truth = np.argsort(-qe @ emb.T, axis=1)[:, :3].astype(np.int32)
+        qp, tp = paths[m]
+        json.dump(queries, open(qp, "w"))
+        np.save(tp, truth)
+        out[m] = (queries, truth)
+    log(f"tier2 held-out oracles (perturbed+question) computed in {time.time()-t0:.0f}s")
+    return out
 
 
 def measure_tier2():
@@ -225,11 +236,15 @@ def measure_tier2():
     batched_ms = (time.time() - t0) * 1000 / len(queries)
     labels_b = [[int(r.id) for r in row] for row in res_b]
 
-    # second protocol: held-out perturbed queries (no verbatim-prefix tie)
-    pq, ptruth = ensure_tier2_perturbed(prefix)
-    s.search(pq, **kw_b)  # separate batch content, same compiled program
-    res_p = s.search(pq, **kw_b)
-    labels_p = [[int(r.id) for r in row] for row in res_p]
+    # held-out protocols: 'question' (HEADLINE — natural-language question
+    # shells over whole-chunk entities) and 'perturbed' (word-dropout).
+    # Prefix self-retrieval stays as a diagnostic under prefix_* keys.
+    heldout = ensure_tier2_heldout(prefix)
+    hl = {}
+    for mode, (hq, htruth) in heldout.items():
+        s.search(hq, **kw_b)  # separate batch content, same compiled program
+        res_h = s.search(hq, **kw_b)
+        hl[mode] = recall_against(htruth, [[int(r.id) for r in row] for row in res_h])
 
     idx_bytes = index_all_in_bytes(prefix)
     flat_bytes = TIER2_N * 768 * 4
@@ -237,9 +252,10 @@ def measure_tier2():
         "n_chunks_100k": TIER2_N,
         "batched_ms_per_query_100k": round(batched_ms, 2),
         "p50_wall_ms_100k": round(p50, 2),
-        "recall_at_3_100k": round(recall_against(truth, labels), 4),
-        "batched_recall_at_3_100k": round(recall_against(truth, labels_b), 4),
-        "perturbed_recall_at_3_100k": round(recall_against(ptruth, labels_p), 4),
+        "recall_at_3_100k": round(hl["question"], 4),  # question protocol
+        "perturbed_recall_at_3_100k": round(hl["perturbed"], 4),
+        "prefix_recall_at_3_100k": round(recall_against(truth, labels), 4),
+        "prefix_batched_recall_at_3_100k": round(recall_against(truth, labels_b), 4),
         "index_bytes_100k": idx_bytes,
         "flat_baseline_bytes_100k": flat_bytes,
         "storage_savings": round(1 - idx_bytes / flat_bytes, 3),
@@ -249,6 +265,52 @@ def measure_tier2():
 # --------------------------------------------------------------------------
 # DPR-scale tier (2.1M cached index — the reference's headline eval corpus)
 # --------------------------------------------------------------------------
+
+def heldout_scale_protocol(tier, enc, n, modes=("perturbed", "question"),
+                           n_queries=64):
+    """Held-out query sets + oracles for a cached scale tier: 'question'
+    (HEADLINE, NL-question templates over whole-chunk entities) and
+    'perturbed' (word dropout). Oracle = host-blocked matmul over the
+    persisted normalized embedding matrix; cached per mode next to the index.
+    -> {mode: (queries, truth)} ({} when no emb matrix is persisted).
+
+    A cached (queries, truth) pair is trusted as-is: the saved queries are
+    the ones searched, so recall is internally consistent even if the
+    generator changes across rounds."""
+    emb_path = os.path.join(tier, "emb_norm.npy")
+    if not os.path.exists(emb_path):
+        return {}
+    from bench_common import make_queries
+    from scale_10m import host_oracle
+
+    out, chunks, emb_n = {}, None, None
+    for m in modes:
+        qp = os.path.join(tier, f"queries_{m}.json")
+        tp = os.path.join(tier, f"truth_{m}.npy")
+        if os.path.exists(qp) and os.path.exists(tp):
+            out[m] = (json.load(open(qp)), np.load(tp))
+            continue
+        if chunks is None:
+            cpath = os.path.join(tier, "chunks.txt")  # scale_10m.py corpus cache
+            if os.path.exists(cpath):
+                chunks = open(cpath, encoding="utf-8").read().split("\n")[:n]
+            else:
+                from scale_500k import synth_corpus
+
+                chunks = synth_corpus(n, np.random.default_rng(0))
+        q, _ = make_queries(chunks, n_queries, seed=7, mode=m)
+        qv = enc.encode(q)
+        qv /= np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
+        if emb_n is None:
+            emb_n = np.load(emb_path, mmap_mode="r")
+        t0 = time.time()
+        truth = host_oracle(emb_n, qv, 3)
+        log(f"{os.path.basename(tier)} {m} oracle computed in {time.time()-t0:.0f}s")
+        np.save(tp, truth)
+        json.dump(q, open(qp, "w"))
+        out[m] = (q, truth)
+    return out
+
 
 def measure_dpr21m():
     """Recall/latency on the cached 2.1M-chunk R=32 diskann index (the
@@ -306,34 +368,13 @@ def measure_dpr21m():
     truth = np.load(tpath)
     log(f"dpr21m queries regenerated in {time.time()-t0:.0f}s")
 
-    # held-out perturbed protocol: oracle from the persisted normalized
-    # embedding matrix (host-blocked matmul; cached after first run)
-    pq, ptruth = [], None
-    emb_path = os.path.join(tier, "emb_norm.npy")
-    ptp = os.path.join(tier, "truth_perturbed.npy")
-    pqp = os.path.join(tier, "queries_perturbed.json")
-    if os.path.exists(emb_path):
-        from bench_common import make_queries
+    # held-out protocols (question = headline): oracle from the persisted
+    # normalized embedding matrix (host-blocked matmul; cached after first run)
+    from leann_tpu.embeddings.encoder import get_encoder
 
-        chunks = synth_corpus(n, np.random.default_rng(0))
-        pq, _ = make_queries(chunks, 64, seed=7, mode="perturbed")
-        del chunks
-        if os.path.exists(ptp) and os.path.exists(pqp) and json.load(open(pqp)) == pq:
-            ptruth = np.load(ptp)
-        else:
-            from scale_10m import host_oracle
-
-            from leann_tpu.embeddings.encoder import get_encoder
-
-            meta = json.load(open(prefix + ".meta.json"))
-            enc = get_encoder(meta["embedding_model"], max_length=meta.get("max_length", 64))
-            qv = enc.encode(pq)
-            qv /= np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
-            t0 = time.time()
-            ptruth = host_oracle(np.load(emb_path, mmap_mode="r"), qv, 3)
-            log(f"dpr21m perturbed oracle computed in {time.time()-t0:.0f}s")
-            np.save(ptp, ptruth)
-            json.dump(pq, open(pqp, "w"))
+    meta = json.load(open(prefix + ".meta.json"))
+    enc = get_encoder(meta["embedding_model"], max_length=meta.get("max_length", 64))
+    heldout = heldout_scale_protocol(tier, enc, n)
 
     s = LeannSearcher(prefix)
     # operating point from the r2 sweep: recall@3 0.953 @ p50 57 ms (R=32)
@@ -350,14 +391,21 @@ def measure_dpr21m():
     batched_ms = (time.time() - t0) * 1000 / len(queries)
     labels_b = [[int(r.id) for r in row] for row in res_b]
     extra = {}
-    if ptruth is not None:
-        res_p = s.search(pq, **kw)
-        labels_p = [[int(r.id) for r in row] for row in res_p]
-        extra["perturbed_recall_at_3_dpr21m"] = round(recall_against(ptruth, labels_p), 4)
+    for m, (hq, htruth) in heldout.items():
+        res_h = s.search(hq, **kw)
+        labels_h = [[int(r.id) for r in row] for row in res_h]
+        key = ("recall_at_3_dpr21m" if m == "question"
+               else f"{m}_recall_at_3_dpr21m")
+        extra[key] = round(recall_against(htruth, labels_h), 4)
+    if "recall_at_3_dpr21m" in extra:
+        extra["recall_protocol_dpr21m"] = "question"
+    else:  # no persisted embedding matrix -> no held-out oracle possible
+        extra["recall_at_3_dpr21m"] = round(recall_against(truth, labels_b), 4)
+        extra["recall_protocol_dpr21m"] = "prefix"
     return {
         "n_chunks_dpr": n,
-        "recall_at_3_dpr21m": round(recall_against(truth, labels_b), 4),
         **extra,
+        "prefix_recall_at_3_dpr21m": round(recall_against(truth, labels_b), 4),
         "p50_wall_ms_dpr21m": round(float(np.percentile(lat, 50)), 2),
         "batched_ms_per_query_dpr21m": round(batched_ms, 2),
         "index_bytes_dpr21m": index_all_in_bytes(prefix),
@@ -408,71 +456,63 @@ def measure_scale_tier(dirname, tag,
     truth = np.load(tpath)
     max_len = meta.get("max_length", 64)
     enc = get_encoder(meta["embedding_model"], max_length=max_len)
-    qv = enc.encode(queries)
-    qv /= np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
     emb_n = np.load(emb_path, mmap_mode="r") if os.path.exists(emb_path) else None
 
     from bench_common import tie_aware_recall
+
+    # headline protocol: question-shaped held-out queries (VERDICT r3 #6);
+    # the recall-vs-latency CURVE runs on them. Prefix self-retrieval stays a
+    # middle-point diagnostic under prefix_* keys. Falls back to the prefix
+    # curve when no embedding matrix is persisted (no host oracle possible).
+    heldout = heldout_scale_protocol(tier, enc, n) if emb_n is not None else {}
+    protocol = "question" if "question" in heldout else "prefix"
+    if protocol == "question":
+        cq, ctruth = heldout["question"]
+    else:
+        cq, ctruth = queries, truth
+    cqv = enc.encode(cq)
+    cqv /= np.maximum(np.linalg.norm(cqv, axis=1, keepdims=True), 1e-12)
 
     s = LeannSearcher(prefix)
     base = dict(top_k=3, beam_width=16, rerank_size=128, n_entries=256)
     curve = []
     for cx, ad in points:
         kw = dict(base, complexity=cx, adaptive_steps=ad)
-        s.search(queries, **kw)  # compile warmup
+        s.search(cq, **kw)  # compile warmup
         t0 = time.time()
-        res_b = s.search(queries, **kw)
-        ms = (time.time() - t0) * 1000 / len(queries)
+        res_b = s.search(cq, **kw)
+        ms = (time.time() - t0) * 1000 / len(cq)
         labels = [[int(r.id) for r in row] for row in res_b]
         pt = {"complexity": cx, "adaptive_steps": ad,
               "batched_ms_per_query": round(ms, 2),
-              "recall_at_3": round(recall_against(truth, labels), 4)}
+              "recall_at_3": round(recall_against(ctruth, labels), 4)}
         if emb_n is not None:
-            pt["tie_recall_at_3"] = round(tie_aware_recall(emb_n, qv, labels, truth), 4)
+            pt["tie_recall_at_3"] = round(tie_aware_recall(emb_n, cqv, labels, ctruth), 4)
         curve.append(pt)
         log(f"{tag} cx{cx}/a{ad}: {pt}")
 
     # single-query wall p50 at the middle point (tunnel-RTT-bound, reported
     # for parity with the other tiers)
-    mid = dict(base, complexity=points[len(points) // 2][0])
-    s.search(queries[0], **mid)
+    mid_cx, mid_ad = points[len(points) // 2]
+    mid = dict(base, complexity=mid_cx)
+    s.search(cq[0], **mid)
     lat = []
-    for q in queries[:16]:
+    for q in cq[:16]:
         t0 = time.time()
         s.search(q, **mid)
         lat.append((time.time() - t0) * 1000)
 
-    # held-out perturbed protocol (cached oracle; first run pays corpus regen
-    # + one host-blocked matmul over the memmapped matrix)
+    # diagnostics at the middle operating point: prefix self-retrieval (the
+    # old optimistic protocol) + the perturbed held-out protocol
     extra = {}
-    if emb_n is not None:
-        ptp = os.path.join(tier, "truth_perturbed.npy")
-        pqp = os.path.join(tier, "queries_perturbed.json")
-        from bench_common import make_queries
-
-        if os.path.exists(ptp) and os.path.exists(pqp):
-            pq, ptruth = json.load(open(pqp)), np.load(ptp)
-        else:
-            from scale_10m import host_oracle
-            from scale_500k import synth_corpus
-
-            t0 = time.time()
-            cpath = os.path.join(tier, "chunks.txt")  # scale_10m.py corpus cache
-            if os.path.exists(cpath):
-                chunks = open(cpath, encoding="utf-8").read().split("\n")[:n]
-            else:
-                chunks = synth_corpus(n, np.random.default_rng(0))
-            pq, _ = make_queries(chunks, len(queries), seed=7, mode="perturbed")
-            del chunks
-            pqv = enc.encode(pq)
-            pqv /= np.maximum(np.linalg.norm(pqv, axis=1, keepdims=True), 1e-12)
-            ptruth = host_oracle(emb_n, pqv, 3)
-            np.save(ptp, ptruth)
-            json.dump(pq, open(pqp, "w"))
-            log(f"{tag} perturbed oracle computed in {time.time()-t0:.0f}s")
-        kw = dict(base, complexity=points[len(points) // 2][0],
-                  adaptive_steps=points[len(points) // 2][1])
-        res_p = s.search(pq, **kw)
+    kw_mid = dict(base, complexity=mid_cx, adaptive_steps=mid_ad)
+    if protocol == "question":
+        res_pre = s.search(queries, **kw_mid)
+        labels_pre = [[int(r.id) for r in row] for row in res_pre]
+        extra[f"prefix_recall_at_3_{tag}"] = round(recall_against(truth, labels_pre), 4)
+    if "perturbed" in heldout:
+        pq, ptruth = heldout["perturbed"]
+        res_p = s.search(pq, **kw_mid)
         labels_p = [[int(r.id) for r in row] for row in res_p]
         pqv = enc.encode(pq)
         pqv /= np.maximum(np.linalg.norm(pqv, axis=1, keepdims=True), 1e-12)
@@ -484,6 +524,7 @@ def measure_scale_tier(dirname, tag,
     idx_bytes = index_all_in_bytes(prefix)
     return {
         f"n_chunks_{tag}": n,
+        f"recall_protocol_{tag}": protocol,
         f"recall_curve_{tag}": curve,
         f"recall_at_3_{tag}": best["recall_at_3"],
         f"tie_recall_at_3_{tag}": best.get("tie_recall_at_3"),
@@ -678,6 +719,70 @@ def measure_hf_checkpoint():
             "hf_checkpoint_path": ckpt}
 
 
+def measure_trained_encoder():
+    """Recall through a TRAINED encoder (VERDICT r3 #7 — the first number
+    where the recompute engine serves an encoder with real learned geometry):
+    benchmarks/train_encoder.py fine-tunes the bench-bert HF checkpoint with
+    the ContrastiveTrainer on synthetic question->passage pairs, builds a
+    20K-chunk index through the HF loader path, and persists question-shaped
+    held-out queries + the exact oracle of the trained weights. This just
+    searches the cached tier (skipped when absent; the training run is
+    offline, ~minutes on the chip)."""
+    tier = os.path.join(CACHE_DIR, "trained20k")
+    prefix = os.path.join(tier, "trained.leann")
+    qp = os.path.join(tier, "queries_question.json")
+    tp = os.path.join(tier, "truth_question.npy")
+    if not (os.path.exists(prefix + ".meta.json") and os.path.exists(qp)
+            and os.path.exists(tp)):
+        log("trained-encoder tier skipped: no cached index "
+            "(run benchmarks/train_encoder.py)")
+        return {}
+    from leann_tpu import LeannSearcher
+
+    queries, truth = json.load(open(qp)), np.load(tp)
+    s = LeannSearcher(prefix)
+    kw = dict(top_k=3, complexity=256, beam_width=16, rerank_size=64)
+    s.search(queries, **kw)  # compile warmup
+    res = s.search(queries, **kw)
+    labels = [[int(r.id) for r in row] for row in res]
+    out = {"trained_encoder_recall_at_3": round(recall_against(truth, labels), 4)}
+    ip = os.path.join(tier, "train_info.json")
+    if os.path.exists(ip):
+        out["trained_encoder_info"] = json.load(open(ip))
+    return out
+
+
+# tiers that may legitimately be absent on a given machine/run; their rows
+# stale-merge from the last successful run (see main)
+STALE_MERGE_TIERS = {
+    "dpr21m": lambda k: k.endswith("_dpr21m") or k == "n_chunks_dpr",
+    "10m": lambda k: k.endswith("_10m"),
+    "20m": lambda k: k.endswith("_20m"),
+    "trained": lambda k: k.startswith("trained_encoder"),
+}
+
+
+def merge_stale_tiers(out, prev):
+    """A healthy TPU run must never silently drop a tier whose cache is
+    absent/mid-rebuild (the BENCH r2->r3 regression, VERDICT r3 weak #1):
+    tier rows missing from THIS run are merged verbatim from the last
+    successful run under an explicit staleness label. -> (stale_tags,
+    per-tier timestamps)."""
+    now = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    prev_stamps = prev.get("tier_recorded_at_utc", {})
+    stamps, stale = {}, []
+    for tag, pred in STALE_MERGE_TIERS.items():
+        if any(pred(k) for k in out):
+            stamps[tag] = now
+            continue
+        prev_keys = {k: v for k, v in prev.items() if pred(k)}
+        if prev_keys:
+            out.update(prev_keys)
+            stamps[tag] = prev_stamps.get(tag, prev.get("recorded_at_utc", "?"))
+            stale.append(tag)
+    return stale, stamps
+
+
 def probe_tpu(timeout_s: int = 240) -> bool:
     """True when the tunneled TPU answers a devices()+matmul probe within the
     bound. The remote worker is known to wedge for hours (clients hang in
@@ -710,6 +815,8 @@ def main():
         out.update(measure_scale_tier("s10m", "10m"))
         log("=== 20M scale tier ===")
         out.update(measure_scale_tier("s20m", "20m"))
+        log("=== trained-encoder tier ===")
+        out.update(measure_trained_encoder())
     log("=== toy tier (fresh builds) ===")
     out.update(measure_toy())
     if not cpu_mode:
@@ -717,6 +824,15 @@ def main():
         out.update(measure_mfu())
         log("=== HF checkpoint path ===")
         out.update(measure_hf_checkpoint())
+
+    cached = os.path.join(CACHE_DIR, "last_full_bench.json")
+    prev = json.load(open(cached)) if os.path.exists(cached) else {}
+    stale, stamps = ([], {})
+    if not cpu_mode:
+        # a healthy TPU run never silently drops a tier (VERDICT r3 weak #1):
+        # rows whose cache is absent/mid-rebuild merge from the last
+        # successful run, labeled stale with their original timestamps
+        stale, stamps = merge_stale_tiers(out, prev)
 
     headline = out["toy_batched_ms_per_query"] if cpu_mode else out["batched_ms_per_query_100k"]
     final = {
@@ -730,17 +846,27 @@ def main():
         # conservative statement of the speedup
         "vs_baseline": round(BASELINE_P50_MS / headline, 2),
         "baseline_note": "ref recompute-mode toy-corpus low end 5000 ms (benchmarks/README.md:116-117); wall p50 on this image is tunnel-RTT-bound (~28 ms/sync)",
+        # headline recall keys (recall_at_3_*) are the held-out QUESTION
+        # protocol wherever an oracle exists; prefix self-retrieval is the
+        # prefix_* diagnostic (VERDICT r3 #6)
+        "recall_protocol": "question",
         **out,
     }
+    if stale:
+        final["stale_tiers"] = stale
+        final["stale_tiers_note"] = (
+            "these tiers' caches were absent or mid-rebuild THIS run; their "
+            "rows are the UNCHANGED results of the last successful bench on "
+            "this machine (per-tier timestamps in tier_recorded_at_utc)")
+    if stamps:
+        final["tier_recorded_at_utc"] = stamps
     # The tunneled TPU worker is known to wedge for hours (recovery is
     # remote-side). So a wedge-time run doesn't silently erase every real
     # tier: a successful full-TPU run is cached, and the CPU fallback embeds
     # it VERBATIM under an explicit staleness label — these are prior
     # measured-on-TPU numbers, not this run's.
-    cached = os.path.join(CACHE_DIR, "last_full_bench.json")
     if cpu_mode:
-        if os.path.exists(cached):
-            prev = json.load(open(cached))
+        if prev:
             final["last_successful_tpu_bench"] = prev
             final["last_successful_tpu_bench_note"] = (
                 "TPU worker unreachable this run; these are the UNCHANGED "

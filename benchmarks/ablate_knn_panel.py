@@ -61,6 +61,10 @@ def main():
         return jnp.stack([ti * n_strips, jnp.int32(0), jnp.int32(rows),
                           jnp.int32(0)]).astype(jnp.int32)
 
+    # NOTE: the variants differ in masking (the kernels exclude self ids
+    # in-kernel; v_matmul and v_full_xla exclude nothing), so only the
+    # wall-clock per tile is comparable — v_matmul is a pure-compute
+    # roofline, not a like-for-like reduction.
     @jax.jit
     def v_matmul():
         def body(acc, ti):

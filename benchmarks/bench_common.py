@@ -55,15 +55,46 @@ def perturb_words(words, rng, vocab):
     return kept
 
 
+# Question templates for mode='question': natural-language question shells
+# wrapping entity words sampled from the WHOLE target chunk (never the
+# prefix). Mirrors the reference's NQ-open protocol shape — question
+# stopwords + salient entities, /root/reference/benchmarks/run_evaluation.py:
+# 196-199 — without network access to NQ itself. The shared shell words
+# dilute query-chunk similarity the way real question stopwords do, and the
+# whole-chunk entity sampling removes the verbatim-prefix tie entirely.
+QUESTION_TEMPLATES = [
+    "what do the documents say about {} and {} especially regarding {}",
+    "which passage discusses {} together with {} and {}",
+    "how does {} relate to {} in the context of {}",
+    "find the passage that mentions {} and {} and also {}",
+    "is there any information connecting {} with {} and {}",
+    "where can i read about {} or {} and their link to {}",
+]
+
+
 def make_queries(chunks, n_queries=32, seed=0, n_words=12, mode="prefix"):
     """mode='prefix': verbatim n_words-word chunk prefixes (the optimistic
     self-retrieval protocol). mode='perturbed': dropout/reorder/substitution
     over a 2x window, truncated to n_words — queries no longer share a
-    verbatim prefix with their source chunk."""
+    verbatim prefix with their source chunk. mode='question': NL question
+    templates over entity words sampled from the whole chunk (the headline
+    protocol — see QUESTION_TEMPLATES)."""
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(chunks), min(n_queries, len(chunks)), replace=False)
     if mode == "prefix":
         return [" ".join(chunks[i].split()[:n_words]) for i in idx], idx
+    if mode == "question":
+        queries = []
+        for i in idx:
+            words = chunks[i].split()
+            take = rng.choice(len(words), size=min(6, len(words)), replace=False)
+            ents = [words[int(t)] for t in np.sort(take)]
+            while len(ents) < 6:  # degenerate short chunks
+                ents.append(ents[-1])
+            t = QUESTION_TEMPLATES[int(rng.integers(len(QUESTION_TEMPLATES)))]
+            queries.append(t.format(" ".join(ents[0:2]), " ".join(ents[2:4]),
+                                    " ".join(ents[4:6])))
+        return queries, idx
     if mode != "perturbed":
         raise ValueError(f"unknown query mode {mode!r}")
     # substitution vocabulary from a fixed sample of the corpus itself

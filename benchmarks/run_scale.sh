@@ -34,6 +34,14 @@ np.asarray(x @ x)
 print('tpu ok')" >> "$LOG" 2>&1
 }
 
+# Defaults only for flags the caller did NOT pass — relying on argparse
+# last-wins for duplicated flags is one parser change away from silently
+# building mislabeled tiers (e.g. R=24 graphs in an R=32 tier dir).
+DEFAULTS=()
+case " $* " in *" --graph-degree "*) ;; *) DEFAULTS+=(--graph-degree 24);; esac
+case " $* " in *" --emb-dtype "*)    ;; *) DEFAULTS+=(--emb-dtype f16);;   esac
+case " $* " in *" --complexity "*)   ;; *) DEFAULTS+=(--complexity 1024);; esac
+
 for attempt in $(seq 1 "$ATTEMPTS"); do
   if [ "$PROBE" = "1" ]; then
     until tpu_healthy; do
@@ -42,8 +50,8 @@ for attempt in $(seq 1 "$ATTEMPTS"); do
     done
   fi
   echo "=== attempt $attempt $(date -u +%FT%TZ) ===" >> "$LOG"
-  python -u "$SCRIPT" --n-chunks "$N" --emb-dtype f16 \
-    --out-dir "$OUT" --graph-degree 24 --complexity 1024 "$@" >> "$LOG" 2>&1 &
+  python -u "$SCRIPT" --n-chunks "$N" --out-dir "$OUT" \
+    "${DEFAULTS[@]}" "$@" >> "$LOG" 2>&1 &
   pid=$!
   while kill -0 "$pid" 2>/dev/null; do
     sleep "$POLL_S"

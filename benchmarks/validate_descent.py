@@ -78,11 +78,16 @@ def main():
     emb = load_or_encode(args)
     n = emb.shape[0]
 
+    # spill scratch + the [N,k] outputs go to memmaps in the tier dir when we
+    # have one (at 10M+ the in-RAM alternative adds several GB of RSS on the
+    # 1-core host, next to the memmapped tier matrix)
+    scratch = os.path.expanduser(args.out_dir) if args.out_dir else ""
     t0 = time.time()
     if args.mode == "descent":
-        cand, _ = nn_descent(emb, args.k, n_iters=args.n_iters)
+        cand, _ = nn_descent(emb, args.k, n_iters=args.n_iters,
+                             checkpoint_dir=scratch)
     else:
-        cand, _ = spill_knn_streamed(emb, args.k)
+        cand, _ = spill_knn_streamed(emb, args.k, scratch_dir=scratch)
     gen_s = time.time() - t0
     print(f"{args.mode} candidates in {gen_s:.1f}s", flush=True)
     if args.save_cands:

@@ -1103,6 +1103,7 @@ def nn_descent(
     seed: int = 0,
     min_update_frac: float = 0.03,
     bootstrap: str = "cluster",  # cluster | random
+    checkpoint_dir: str = "",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Approximate k-NN graph by NN-descent — O(N·C·D) per iteration instead
     of the exact O(N²·D), with every distance batch an MXU einsum and every
@@ -1112,6 +1113,12 @@ def nn_descent(
     with exact within-cluster neighbors (cluster_window_init) so descent only
     repairs cluster boundaries — random init needs ~10x the rounds on
     clustered corpora and still converges worse.
+    ``checkpoint_dir``: persist (nbrs, dists, iter, prev_changed) after a
+    completed round (rate-limited to one write per QCKPT_SECS — at 60M each
+    state pair is ~30 GB of IO) and resume from the last persisted round on
+    re-run. The per-round RNG is ``fold_in(base_key, it)``, so a resumed run
+    replays the same candidate stream the killed run would have seen.
+
     -> (ids i32[N, k], dists f32[N, k])."""
     n, d = emb.shape
     h = min(k, max(4, 512 // max(k, 1)))   # 2-hop seed columns
@@ -1123,8 +1130,38 @@ def nn_descent(
     block = max(8, (min(block, mem_cap) // 8) * 8)  # sublane-aligned
     np_total = _bucket_rows(n, block)
 
+    # intra-phase resume (ADVICE r3): a worker wedge mid-descent at 60M
+    # scale restarts from the last persisted round, not from the bootstrap
+    nd_key = ""
+    start_it, prev_changed0 = 0, None
+    nd_i_path = nd_d_path = nd_meta_path = ""
+    nbrs0 = dists0 = None
+    if checkpoint_dir:
+        import json as _json
+
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        nd_key = _ckpt_key(emb, f"k{k}nd_{bootstrap}_s{seed}")
+        nd_i_path = os.path.join(checkpoint_dir, "nd_state_i.npy")
+        nd_d_path = os.path.join(checkpoint_dir, "nd_state_d.npy")
+        nd_meta_path = os.path.join(checkpoint_dir, "nd_state.json")
+        if os.path.exists(nd_meta_path):
+            try:
+                m = _json.load(open(nd_meta_path))
+            except Exception:
+                m = {}
+            if m.get("key") == nd_key and os.path.exists(nd_i_path) \
+                    and os.path.exists(nd_d_path):
+                nbrs0 = np.load(nd_i_path)
+                dists0 = np.load(nd_d_path)
+                start_it = int(m.get("iter", 0))
+                prev_changed0 = m.get("prev_changed")
+                logger.info("nn_descent: resumed at iter %d from %s",
+                            start_it, nd_meta_path)
+
     rng = np.random.default_rng(seed)
-    if bootstrap == "cluster" and n > 4096:
+    if nbrs0 is not None:
+        pass  # resumed state above
+    elif bootstrap == "cluster" and n > 4096:
         t0 = time.time()
         # 2-probe spill: boundary nodes see both sides of their cluster split
         # (measured init recall@10 0.61 -> 0.90 on a clustered corpus), so
@@ -1153,8 +1190,9 @@ def nn_descent(
     rev_jit = jax.jit(_reverse_edges_device, static_argnames=("cap",))
     # chunk each round's row sweep so no dispatch outlives the tunnel watchdog
     rows_per_dispatch = max(block, (131072 // block) * block)
-    prev_changed = None
-    for it in range(n_iters):
+    prev_changed = prev_changed0
+    t_ckpt = time.time()
+    for it in range(start_it, n_iters):
         t0 = time.time()
         rev_key, it_key = jax.random.split(jax.random.fold_in(base_key, it))
         rev = rev_jit(nbrs, rev_key, cap=k)
@@ -1176,6 +1214,19 @@ def nn_descent(
             "nn_descent iter %d: %.3f%% slots improved (%.2fs)",
             it, 100 * changed / (n * k), time.time() - t0,
         )
+        if checkpoint_dir and time.time() - t_ckpt > QCKPT_SECS:
+            import json as _json
+
+            np.save(nd_i_path + ".tmp.npy", np.asarray(nbrs))
+            np.save(nd_d_path + ".tmp.npy", np.asarray(dists))
+            os.replace(nd_i_path + ".tmp.npy", nd_i_path)
+            os.replace(nd_d_path + ".tmp.npy", nd_d_path)
+            tmp = nd_meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump({"key": nd_key, "iter": it + 1,
+                            "prev_changed": changed}, f)
+            os.replace(tmp, nd_meta_path)
+            t_ckpt = time.time()
         # stop when the join has both PEAKED and dropped below the floor:
         # on clustered corpora the improvement fraction *rises* through a
         # connectivity phase transition (measured at 2.1M: 4.7% -> 61% over
@@ -1186,6 +1237,12 @@ def nn_descent(
         ):
             break
         prev_changed = changed
+    if checkpoint_dir:  # done — the caller persists ckpt_knn.npy next
+        for p in (nd_i_path, nd_d_path, nd_meta_path):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
     return np.asarray(nbrs)[:n], np.asarray(dists)[:n]
 
 
@@ -1638,7 +1695,7 @@ def build_graph(
         # (~46 GB at 60M — pod-sized); validate candidate recall with
         # benchmarks/validate_descent.py (sampled exact oracle) before
         # trusting a new scale
-        knn_ids, _ = nn_descent(emb, c)
+        knn_ids, _ = nn_descent(emb, c, checkpoint_dir=checkpoint_dir or "")
     elif n > EXACT_KNN_MAX_N:
         # single-chip HBM can't hold the matrix, but O(N²) brute force on the
         # MXU is still the fastest *and* exact option well past 10M — the

@@ -38,6 +38,46 @@ class TestNNDescent:
             assert i not in row
             assert len(row) == len(set(row))
 
+    def test_checkpoint_resume_bit_identical(self, rng, tmp_path, monkeypatch):
+        """Intra-phase descent resume (ADVICE r3): a run killed mid-descent
+        restarts from the last persisted round and converges to the SAME
+        graph as an uninterrupted run (the per-round RNG is fold_in(key, it),
+        so the candidate stream replays)."""
+        import leann_tpu.ops.graph as G
+
+        emb = rng.standard_normal((600, 16)).astype(np.float32)
+        ref_ids, ref_d = G.nn_descent(emb, 8, n_iters=6, block=128)
+
+        # force a checkpoint write after every round, then kill after round 2
+        monkeypatch.setattr(G, "QCKPT_SECS", -1.0)
+        ck = str(tmp_path / "nd")
+        calls = {"n": 0}
+        real_iter = G._nn_descent_iter
+
+        def dying_iter(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] > 2:
+                raise RuntimeError("simulated worker wedge")
+            return real_iter(*a, **kw)
+
+        monkeypatch.setattr(G, "_nn_descent_iter", dying_iter)
+        try:
+            G.nn_descent(emb, 8, n_iters=6, block=128, checkpoint_dir=ck)
+        except RuntimeError:
+            pass
+        import json as _json
+        import os as _os
+
+        meta = _json.load(open(_os.path.join(ck, "nd_state.json")))
+        assert meta["iter"] == 2  # two completed rounds persisted
+
+        monkeypatch.setattr(G, "_nn_descent_iter", real_iter)
+        res_ids, res_d = G.nn_descent(emb, 8, n_iters=6, block=128, checkpoint_dir=ck)
+        np.testing.assert_array_equal(res_ids, ref_ids)
+        np.testing.assert_allclose(res_d, ref_d, rtol=1e-6)
+        # state cleaned up after completion
+        assert not _os.path.exists(_os.path.join(ck, "nd_state.json"))
+
 
 class TestReverseFill:
     def test_fill_and_dedup(self):
