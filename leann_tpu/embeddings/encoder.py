@@ -251,8 +251,13 @@ class JaxEncoder:
             self.cfg = replace(self.cfg, max_len=max_length)
         self.model_name = model_name
         self.loaded_hf = False  # set by _load_or_init on a local-checkpoint load
-        self.tokenizer = get_tokenizer(model_name, vocab_size=self.cfg.vocab_size, max_length=self.cfg.max_len)
         self.params = params if params is not None else self._load_or_init(model_name)
+        # tokenizer AFTER the param load: _load_or_init replaces the
+        # placeholder cfg with the checkpoint's real one, and a hash
+        # tokenizer built from the placeholder's vocab_size (32768) would
+        # emit ids past the loaded tok_emb (e.g. 4096 rows) — the jit gather
+        # clamps them all onto the last row, silently collapsing tokens
+        self.tokenizer = get_tokenizer(model_name, vocab_size=self.cfg.vocab_size, max_length=self.cfg.max_len)
         self._jit = functools.partial(jax.jit, static_argnames=("cfg",))(encode_tokens)
 
     @property
@@ -426,6 +431,54 @@ def load_hf_weights(path: str) -> Tuple[Dict, EncoderConfig]:
             }
         )
     return params, cfg
+
+
+def save_hf_weights(params: Dict, cfg: EncoderConfig, path: str) -> None:
+    """Write a param tree back as a local HuggingFace BERT checkpoint — the
+    exact inverse of :func:`load_hf_weights` (fine-tuned weights re-enter the
+    pipeline through the SAME loader path every index build uses; round-trip
+    is exact up to f32). token_type embeddings are zeroed because the loader
+    folds row 0 into tok_emb; the pooler is left at init (the loader ignores
+    it — we masked-mean-pool)."""
+    import torch
+    from transformers import BertConfig, BertModel
+
+    hf_cfg = BertConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.dim,
+        num_hidden_layers=cfg.n_layers,
+        num_attention_heads=cfg.n_heads,
+        intermediate_size=cfg.mlp_dim,
+        max_position_embeddings=int(np.asarray(params["pos_emb"]).shape[0]),
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(0)
+    model = BertModel(hf_cfg)
+    sd = model.state_dict()
+
+    def t(x):
+        return torch.from_numpy(np.ascontiguousarray(np.asarray(x, np.float32)))
+
+    sd["embeddings.word_embeddings.weight"] = t(params["tok_emb"])
+    sd["embeddings.position_embeddings.weight"] = t(params["pos_emb"])
+    if "embeddings.token_type_embeddings.weight" in sd:
+        sd["embeddings.token_type_embeddings.weight"] = torch.zeros_like(
+            sd["embeddings.token_type_embeddings.weight"])
+    sd["embeddings.LayerNorm.weight"] = t(params["emb_ln"]["scale"])
+    sd["embeddings.LayerNorm.bias"] = t(params["emb_ln"]["bias"])
+    for i, layer in enumerate(params["layers"]):
+        p = f"encoder.layer.{i}"
+        for ours, theirs in (("q", "attention.self.query"), ("k", "attention.self.key"),
+                             ("v", "attention.self.value"), ("o", "attention.output.dense"),
+                             ("fc1", "intermediate.dense"), ("fc2", "output.dense")):
+            sd[f"{p}.{theirs}.weight"] = t(np.asarray(layer[ours]["w"]).T)
+            sd[f"{p}.{theirs}.bias"] = t(layer[ours]["b"])
+        for ours, theirs in (("ln1", "attention.output.LayerNorm"), ("ln2", "output.LayerNorm")):
+            sd[f"{p}.{theirs}.weight"] = t(layer[ours]["scale"])
+            sd[f"{p}.{theirs}.bias"] = t(layer[ours]["bias"])
+    model.load_state_dict(sd)
+    model.save_pretrained(path)
 
 
 _ENCODER_CACHE: Dict[Tuple[str, Optional[int]], JaxEncoder] = {}

@@ -64,7 +64,13 @@ class ContrastiveTrainer:
     """Owns sharded params + optimizer state and a jitted train step."""
 
     def __init__(self, cfg: EncoderConfig, mesh: Mesh, learning_rate: float = 2e-5,
-                 weight_decay: float = 0.01, temperature: float = 0.05):
+                 weight_decay: float = 0.01, temperature: float = 0.05,
+                 params: Dict | None = None):
+        """``params``: start from an existing encoder tree (e.g. a local HF
+        checkpoint via load_hf_weights) instead of seeded init — the
+        fine-tuning path. Must match param_specs' structure; auxiliary keys
+        (out_center/out_pc calibration) are dropped: calibration is a
+        SERVING-side corpus statistic, recomputed at index build."""
         self.cfg = cfg
         self.mesh = mesh
         self.temperature = temperature
@@ -73,7 +79,11 @@ class ContrastiveTrainer:
         self.param_shardings = jax.tree.map(
             lambda s: NamedSharding(mesh, s), specs, is_leaf=lambda x: isinstance(x, P)
         )
-        host_params = init_params(cfg)
+        if params is not None:
+            host_params = {k: params[k] for k in
+                           ("tok_emb", "pos_emb", "emb_ln", "final_ln", "layers")}
+        else:
+            host_params = init_params(cfg)
         self.params = jax.device_put(host_params, self.param_shardings)
         # optimizer state mirrors the param shardings (adam m/v are param-shaped)
         self.opt_state = self.tx.init(self.params)

@@ -192,3 +192,70 @@ class TestHFWeightLoading:
             res = s.search(qt, top_k=3, complexity=32, beam_width=4)
             hits += len({int(r.id) for r in res} & set(truth[qi].tolist()))
         assert hits >= 5  # 5/6 allows one near-tie swap
+
+
+class TestHFWeightSaving:
+    def test_save_load_roundtrip_exact(self, tiny_bert, tmp_path, rng):
+        """save_hf_weights is the exact inverse of load_hf_weights: a tree
+        saved back as an HF checkpoint and re-loaded produces bit-equal f32
+        leaves (this is how ContrastiveTrainer-fine-tuned weights re-enter
+        the index build through the standard loader path)."""
+        import jax
+
+        from leann_tpu.embeddings.encoder import load_hf_weights, save_hf_weights
+
+        path, _ = tiny_bert
+        params, cfg = load_hf_weights(path)
+        out = str(tmp_path / "roundtrip-bert")
+        save_hf_weights(params, cfg, out)
+        params2, cfg2 = load_hf_weights(out)
+        assert (cfg2.vocab_size, cfg2.dim, cfg2.n_layers, cfg2.n_heads,
+                cfg2.mlp_dim) == (cfg.vocab_size, cfg.dim, cfg.n_layers,
+                                  cfg.n_heads, cfg.mlp_dim)
+        flat1 = jax.tree_util.tree_leaves_with_path(params)
+        flat2 = {jax.tree_util.keystr(k): v
+                 for k, v in jax.tree_util.tree_leaves_with_path(params2)}
+        for k, v in flat1:
+            np.testing.assert_array_equal(
+                np.asarray(v, np.float32),
+                np.asarray(flat2[jax.tree_util.keystr(k)], np.float32),
+                err_msg=jax.tree_util.keystr(k))
+
+    def test_trainer_accepts_loaded_params(self, tiny_bert):
+        """ContrastiveTrainer(params=...) fine-tunes a loaded checkpoint: one
+        step runs, loss is finite, and the params actually move."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+
+        from leann_tpu.embeddings.encoder import load_hf_weights
+        from leann_tpu.parallel.train import ContrastiveTrainer
+
+        path, _ = tiny_bert
+        params, cfg = load_hf_weights(path)
+        devs = np.array(jax.devices()[:4]).reshape(2, 2)
+        mesh = Mesh(devs, ("dp", "tp"))
+        tr = ContrastiveTrainer(cfg, mesh, learning_rate=1e-3, params=params)
+        before = np.asarray(tr.params["layers"][0]["q"]["w"])
+        B, T = 8, 16
+        rng = np.random.default_rng(0)
+        q_ids = rng.integers(0, cfg.vocab_size, (B, T)).astype(np.int32)
+        d_ids = rng.integers(0, cfg.vocab_size, (B, T)).astype(np.int32)
+        ones = np.ones((B, T), np.int32)
+        loss0 = tr.train_step(jnp.asarray(q_ids), jnp.asarray(ones),
+                              jnp.asarray(d_ids), jnp.asarray(ones))
+        assert np.isfinite(loss0)
+        after = np.asarray(tr.params["layers"][0]["q"]["w"])
+        assert not np.array_equal(before, after)
+
+    def test_hash_tokenizer_respects_checkpoint_vocab(self, tiny_bert):
+        """A local HF dir WITHOUT tokenizer files gets the hash tokenizer —
+        which must be built from the CHECKPOINT's vocab_size, not the
+        placeholder config's 32768 (ids past tok_emb's rows clamp onto the
+        last row inside jit, silently collapsing tokens)."""
+        from leann_tpu.embeddings.encoder import JaxEncoder
+
+        path, _ = tiny_bert  # vocab_size=120, no tokenizer files saved
+        enc = JaxEncoder(path, max_length=32)
+        ids, _ = enc.tokenize(["hello world foo bar baz qux"])
+        assert ids.max() < 120, f"tokenizer emitted id {ids.max()} >= vocab 120"
