@@ -288,7 +288,9 @@ def heldout_scale_protocol(tier, enc, n, modes=("perturbed", "question"),
         qp = os.path.join(tier, f"queries_{m}.json")
         tp = os.path.join(tier, f"truth_{m}.npy")
         if os.path.exists(qp) and os.path.exists(tp):
-            out[m] = (json.load(open(qp)), np.load(tp))
+            # [:, :3]: s10m_sweep.py persists top-10 oracles under the same
+            # filenames (superset; recall here is @3)
+            out[m] = (json.load(open(qp)), np.load(tp)[:, :3])
             continue
         if chunks is None:
             cpath = os.path.join(tier, "chunks.txt")  # scale_10m.py corpus cache
@@ -739,7 +741,7 @@ def measure_trained_encoder():
         return {}
     from leann_tpu import LeannSearcher
 
-    queries, truth = json.load(open(qp)), np.load(tp)
+    queries, truth = json.load(open(qp)), np.load(tp)[:, :3]
     s = LeannSearcher(prefix)
     kw = dict(top_k=3, complexity=256, beam_width=16, rerank_size=64)
     s.search(queries, **kw)  # compile warmup

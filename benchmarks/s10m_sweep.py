@@ -100,9 +100,15 @@ def ensure_oracle(out_dir: str, n_chunks: int, n_queries: int, max_length: int) 
         np.save(emb_path, emb.astype(np.float16))
         print("saved emb_f16.npy", flush=True)
 
+    from bench_common import make_queries
+
     sets = {
         "prefix12": [" ".join(chunks[i].split()[:12]) for i in q_idx],
         "full": [chunks[i] for i in q_idx],
+        # the bench-wide held-out question protocol (seed=7 draw — the SAME
+        # set bench.py measures, so sweep results transfer; bench slices the
+        # top-10 truth to @3)
+        "question": make_queries(chunks, n_queries, seed=7, mode="question")[0],
     }
     if from_cache:
         saved_q = os.path.join(out_dir, "queries.json")
@@ -141,7 +147,7 @@ def main():
     ap.add_argument("--beam-width", type=int, default=16)
     ap.add_argument("--rerank-size", type=int, default=64)
     ap.add_argument("--n-entries", type=int, default=128)
-    ap.add_argument("--query-sets", default="prefix12,full")
+    ap.add_argument("--query-sets", default="question,prefix12,full")
     ap.add_argument("--oracle-only", action="store_true")
     # two-phase batched search: cap the first dispatch at this many steps and
     # re-dispatch only unconverged lanes at full budget (fixes the
