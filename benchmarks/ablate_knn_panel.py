@@ -53,7 +53,6 @@ def main():
     cshard = jnp.asarray(emb, jnp.bfloat16)
     cn = np.einsum("ij,ij->i", emb, emb, dtype=np.float32)
     cnorms = jnp.asarray(cn)
-    cn2 = cnorms.reshape(-1, t_strip)
     qe = cshard[:qb]
     qn = cnorms[:qb]
 
@@ -80,7 +79,7 @@ def main():
     @jax.jit
     def v_kernel():
         def body(acc, ti):
-            bv, bi = panel_bucketmin_call(meta(ti), qe, cshard, cn2,
+            bv, bi = panel_bucketmin_call(meta(ti), qe, cshard,
                                           tile=tile, t_strip=t_strip)
             return jnp.minimum(acc, bv.min(axis=1) + bi[:, 0] * 0.0), None
         acc, _ = jax.lax.scan(body, jnp.full((qb,), np.inf, jnp.float32),
@@ -90,7 +89,7 @@ def main():
     @jax.jit
     def v_kernel_amk():
         def body(acc, ti):
-            bv, bi = panel_bucketmin_call(meta(ti), qe, cshard, cn2,
+            bv, bi = panel_bucketmin_call(meta(ti), qe, cshard,
                                           tile=tile, t_strip=t_strip)
             nv, pos = jax.lax.approx_max_k(-bv, k, recall_target=0.99)
             ids = jnp.take_along_axis(bi, pos, axis=1)
@@ -103,7 +102,7 @@ def main():
     def v_full():
         def body(carry, ti):
             rd, ri = carry
-            bv, bi = panel_bucketmin_call(meta(ti), qe, cshard, cn2,
+            bv, bi = panel_bucketmin_call(meta(ti), qe, cshard,
                                           tile=tile, t_strip=t_strip)
             nv, pos = jax.lax.approx_max_k(-bv, k, recall_target=0.99)
             ids = jnp.take_along_axis(bi, pos, axis=1)

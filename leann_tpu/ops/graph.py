@@ -165,7 +165,7 @@ def _knn_panel_impl() -> str:
     return os.environ.get("LEANN_KNN_PANEL", "xla")
 
 
-def _panel_winners(panel: str, qe, qn, cshard, cn2, ti, tile: int,
+def _panel_winners(panel: str, qe, qn, cshard, ti, tile: int,
                    t_strip: int, col_start, col_end_real, q_start0,
                    k: int, approx_recall: float):
     """Pallas path of one [qb, tile] panel: fold to [qb, tile//128] bucket
@@ -180,7 +180,7 @@ def _panel_winners(panel: str, qe, qn, cshard, cn2, ti, tile: int,
         jnp.asarray(q_start0, jnp.int32),
     ])
     bv, bi = panel_bucketmin_call(
-        meta, qe, cshard, cn2, tile=tile, t_strip=t_strip,
+        meta, qe, cshard, tile=tile, t_strip=t_strip,
         interpret=(panel == "pallas_interpret"))
     # the kernel omits the |q|^2 per-row constant (ranking-neutral); restore
     # it so the merged running distances stay true squared L2
@@ -204,7 +204,6 @@ def _exact_knn_device(emb: jnp.ndarray, n_real: jnp.ndarray, q_start: jnp.ndarra
     # would otherwise accumulate norms in f16); no-op convert for f32 inputs
     norms = jnp.sum(jnp.square(emb.astype(jnp.float32)), axis=1)  # f32 [Np]
     n_tiles = np_total // tile
-    cn2 = norms.reshape(-1, t_strip) if panel != "xla" else None
 
     def panel_topk(neg_d, k):
         return _panel_topk(neg_d, k, approx_recall)
@@ -219,7 +218,7 @@ def _exact_knn_device(emb: jnp.ndarray, n_real: jnp.ndarray, q_start: jnp.ndarra
             run_d, run_i = tc
             if panel != "xla":
                 neg_t, ids_t = _panel_winners(
-                    panel, qe, qn, ebf, cn2, ti, tile, t_strip,
+                    panel, qe, qn, ebf, ti, tile, t_strip,
                     jnp.int32(0), n_real, qs, k, approx_recall)
                 all_d = jnp.concatenate([run_d, -neg_t], axis=1)
                 all_i = jnp.concatenate([run_i, ids_t], axis=1)
@@ -348,7 +347,6 @@ def _exact_knn_shard_device(
     d = cshard.shape[1]
     n_tiles = cshard.shape[0] // tile
     cbf = cshard.astype(jnp.bfloat16) if panel != "xla" else cshard
-    cn2 = cnorms.reshape(-1, t_strip) if panel != "xla" else None
 
     def q_block(carry, qi):
         qs = qi * qb
@@ -366,7 +364,7 @@ def _exact_knn_shard_device(
             rd, ri = tc
             if panel != "xla":
                 neg_t, ids_t = _panel_winners(
-                    panel, qe.astype(cbf.dtype), qn, cbf, cn2, ti, tile,
+                    panel, qe.astype(cbf.dtype), qn, cbf, ti, tile,
                     t_strip, col_start, col_start + n_real_cols,
                     q_start + qs, k, approx_recall)
                 all_d = jnp.concatenate([rd, -neg_t], axis=1)

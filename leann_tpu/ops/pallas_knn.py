@@ -42,13 +42,20 @@ INF = float("inf")  # plain float: a jnp scalar would be a captured constant in 
 _LANES = 128
 
 
-def _kernel(meta_ref, q_ref, c_ref, cn_ref, ov_ref, oi_ref):
+def _kernel(meta_ref, q_ref, c_ref, ov_ref, oi_ref):
     """One [qb, T] strip: distances + running 128-lane bucket argmin.
 
     Distances here omit the per-query-row squared norm (a per-row CONSTANT:
     it moves neither the bucket argmin nor any later within-row top-k; the
     caller adds it back to the winner values outside the kernel, which also
     keeps awkward [qb, 1] operand blocks out of Mosaic).
+
+    Column norms are computed IN-KERNEL from the bf16 strip (f32 accumulate)
+    rather than streamed as an f32 input: a [1, T] norm block violates
+    Mosaic's (8, 128) block-divisibility rule, and the recompute is one VPU
+    reduction against an MXU-bound step. The ~1e-3 relative difference vs
+    host-f32 norms is noise for candidate generation (the sweep's own
+    approx_max_k target is 0.99).
 
     meta (SMEM i32[4]): [block_off, col_start, col_end_real, q_start]
       block_off     — first strip of this call, in units of T rows of cshard
@@ -65,7 +72,9 @@ def _kernel(meta_ref, q_ref, c_ref, cn_ref, ov_ref, oi_ref):
         q_ref[:], c_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dmat = cn_ref[:] - 2.0 * dots  # [qb, T] squared l2 minus the |q|^2 row constant
+    c32 = c_ref[:].astype(jnp.float32)
+    cn = jnp.sum(c32 * c32, axis=1)  # [T] column squared norms
+    dmat = cn[None, :] - 2.0 * dots  # [qb, T] squared l2 minus the |q|^2 row constant
     ids = col0 + jax.lax.broadcasted_iota(jnp.int32, (qb, t), 1)
     q_ids = meta_ref[3] + jax.lax.broadcasted_iota(jnp.int32, (qb, t), 0)
     dmat = jnp.where((ids >= meta_ref[2]) | (ids == q_ids), INF, dmat)
@@ -91,7 +100,6 @@ def panel_bucketmin_call(
     meta: jnp.ndarray,     # i32 [4]: [block_off, col_start, col_end_real, q_start]
     qe: jnp.ndarray,       # bf16 [qb, D] query rows
     cshard: jnp.ndarray,   # bf16 [M, D] device-resident column slab (M % t_strip == 0)
-    cn2: jnp.ndarray,      # f32 [M // t_strip, t_strip] column squared norms
     tile: int = 131072,    # columns covered per call
     t_strip: int = 1024,   # columns per grid step (VMEM strip)
     interpret: bool = False,
@@ -101,8 +109,9 @@ def panel_bucketmin_call(
     with w = (tile//t_strip)*128: per-bucket winners of the [qb, tile]
     distance panel starting at strip ``meta[0]``. Values OMIT the per-row
     |q|² constant (see _kernel) — add ``qn[:, None]`` for true squared L2.
-    Feed to approx_max_k / top_k for the per-tile top-k (t_strip/128-fold
-    narrower than the raw panel, which itself never leaves VMEM)."""
+    Column norms come from the strip itself in-kernel (see _kernel). Feed to
+    approx_max_k / top_k for the per-tile top-k (t_strip/128-fold narrower
+    than the raw panel, which itself never leaves VMEM)."""
     qb, d = qe.shape
     assert tile % t_strip == 0 and t_strip % _LANES == 0
     n_steps = tile // t_strip
@@ -113,8 +122,6 @@ def panel_bucketmin_call(
         in_specs=[
             pl.BlockSpec((qb, d), lambda s, m: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((t_strip, d), lambda s, m: (m[0] + s, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_strip), lambda s, m: (m[0] + s, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -130,7 +137,7 @@ def panel_bucketmin_call(
             jax.ShapeDtypeStruct((qb, w), jnp.int32),
         ],
         interpret=interpret,
-    )(meta, qe, cshard, cn2)
+    )(meta, qe, cshard)
 
 
 @functools.partial(
@@ -140,7 +147,6 @@ def panel_bucketmin(
     qe: jnp.ndarray,       # bf16 [qb, D] query rows
     qn: jnp.ndarray,       # f32 [qb] query squared norms
     cshard: jnp.ndarray,   # bf16 [M, D] device-resident column slab (M % tile == 0)
-    cnorms: jnp.ndarray,   # f32 [M]
     block_off: jnp.ndarray,   # i32 — first strip, in units of t_strip rows
     col_start: jnp.ndarray,   # i32 — global id of cshard row 0
     col_end_real: jnp.ndarray,  # i32 — col_start + real rows in shard
@@ -153,7 +159,7 @@ def panel_bucketmin(
     and tests; the KNN sweeps call the raw form inside their own scans)."""
     meta = jnp.stack([block_off.astype(jnp.int32), col_start.astype(jnp.int32),
                       col_end_real.astype(jnp.int32), q_start.astype(jnp.int32)])
-    bv, bi = panel_bucketmin_call(meta, qe, cshard, cnorms.reshape(-1, t_strip),
+    bv, bi = panel_bucketmin_call(meta, qe, cshard,
                                   tile=tile, t_strip=t_strip, interpret=interpret)
     return bv + qn[:, None].astype(jnp.float32), bi
 
@@ -169,13 +175,15 @@ def pick_t_strip(tile: int, cap: int = 1024) -> int:
     return s
 
 
-def panel_bucketmin_ref(qe, qn, cshard, cnorms, block_off, col_start,
+def panel_bucketmin_ref(qe, qn, cshard, block_off, col_start,
                         col_end_real, q_start, tile=131072, t_strip=1024):
-    """Pure-jnp mirror of the kernel's bucket semantics (CPU path / tests)."""
+    """Pure-jnp mirror of the kernel's bucket semantics (CPU path / tests).
+    Column norms from the bf16 slab, matching the kernel's in-kernel norms."""
     qb = qe.shape[0]
     c0 = block_off * t_strip
     cs = jax.lax.dynamic_slice_in_dim(cshard, c0, tile, 0)
-    cn = jax.lax.dynamic_slice_in_dim(cnorms, c0, tile, 0)
+    c32 = cs.astype(jnp.float32)
+    cn = jnp.sum(c32 * c32, axis=1)
     dots = jax.lax.dot_general(qe, cs, dimension_numbers=(((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
     dmat = qn[:, None] + cn[None, :] - 2.0 * dots

@@ -66,10 +66,10 @@ class TestPanelBucketmin:
         args = dict(tile=tile, t_strip=t_strip)
         for off in (0, 1):  # strip offset in t_strip units: tile 2 covers rows 512+
             bo = jnp.int32(off * (tile // t_strip))
-            kv, ki = panel_bucketmin(qe, qn, cbf, cn, bo, jnp.int32(0),
+            kv, ki = panel_bucketmin(qe, qn, cbf, bo, jnp.int32(0),
                                      jnp.int32(m - 100), jnp.int32(32),
                                      interpret=True, **args)
-            rv, ri = panel_bucketmin_ref(qe, qn, cbf, cn, bo, jnp.int32(0),
+            rv, ri = panel_bucketmin_ref(qe, qn, cbf, bo, jnp.int32(0),
                                          jnp.int32(m - 100), jnp.int32(32), **args)
             np.testing.assert_array_equal(np.asarray(ki), np.asarray(ri))
             np.testing.assert_allclose(np.asarray(kv), np.asarray(rv), rtol=1e-6)
@@ -83,7 +83,7 @@ class TestPanelBucketmin:
         _, cbf, cn = self._mk(rng, m, d, qb)
         q_start = 128
         kv, ki = panel_bucketmin(cbf[q_start : q_start + qb], cn[q_start : q_start + qb],
-                                 cbf, cn, jnp.int32(0), jnp.int32(0),
+                                 cbf, jnp.int32(0), jnp.int32(0),
                                  jnp.int32(300), jnp.int32(q_start),
                                  tile=512, t_strip=128, interpret=True)
         kv, ki = np.asarray(kv), np.asarray(ki)
