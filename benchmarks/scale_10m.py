@@ -88,6 +88,12 @@ def main():
     # the bidirectional-edge quality lever for spill-KNN graphs; prune cost
     # grows ~((C+rc)/C)^2, everything else unchanged
     ap.add_argument("--reverse-candidates", type=int, default=0)
+    # index artifact name inside out_dir — a degree sweep writes its variant
+    # (e.g. big10m_r48.leann) NEXT to the cached tier instead of clobbering
+    # it; corpus/emb/oracle caches are shared either way, and passage/token
+    # stores can be hardlinked across prefixes (the .done sidecars key on
+    # content, not name)
+    ap.add_argument("--prefix", default="big10m.leann")
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -180,7 +186,7 @@ def main():
         json.dump(want, open(tmeta, "w"))
     print(f"[{phases['oracle_s']}s] oracle done (rss {rss_gb():.1f} GB)", flush=True)
 
-    prefix = os.path.join(out_dir, "big10m.leann")
+    prefix = os.path.join(out_dir, args.prefix)
     b = LeannBuilder(
         backend_name="diskann", embedding_model="hash-minilm",
         max_length=args.max_length, distance_metric="cosine",

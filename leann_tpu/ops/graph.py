@@ -1655,6 +1655,13 @@ def build_graph(
     n, d = emb.shape
     r = min(r, max(n - 1, 1))
     c = min(r * candidate_factor, max(n - 1, 1))
+    # pin the candidate-list width independent of R (LEANN_KNN_CANDIDATES):
+    # the KNN phase cost and its checkpoint key depend on c alone, so a
+    # degree sweep (e.g. re-prune the 10M tier at R=48) can reuse a saved
+    # ckpt_knn.npy instead of paying the multi-hour candidate pass again
+    c_env = int(os.environ.get("LEANN_KNN_CANDIDATES", "0") or 0)
+    if c_env > 0:
+        c = min(c_env, max(n - 1, 1))
     if keep_closest < 0:
         keep_closest = r // 4
     rc_tag = f"_rc{reverse_candidates}" if reverse_candidates > 0 else ""

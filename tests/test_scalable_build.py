@@ -547,6 +547,31 @@ class TestExactKnnSharded:
         G.build_graph(emb, r=8)
         assert seen == ["exact", "spill"]
 
+    def test_candidate_width_env_reuses_knn_ckpt(self, rng, tmp_path, monkeypatch):
+        """LEANN_KNN_CANDIDATES pins c independent of R, so a degree re-prune
+        (e.g. the 10M R=48 variant) resumes from the saved ckpt_knn.npy
+        instead of recomputing the candidate pass."""
+        import json as _json
+
+        from leann_tpu.ops import graph as G
+
+        emb = rng.standard_normal((600, 16)).astype(np.float32)
+        ck = str(tmp_path)
+        G.build_graph(emb, r=16, checkpoint_dir=ck)  # c = 16*2 = 32
+        key1 = _json.load(open(tmp_path / "ckpt_knn.npy.json"))["key"]
+        assert "_c32" in key1
+
+        calls = []
+        orig = G.exact_knn
+        monkeypatch.setattr(G, "exact_knn",
+                            lambda *a, **kw: (calls.append(1), orig(*a, **kw))[1])
+        monkeypatch.setenv("LEANN_KNN_CANDIDATES", "32")
+        nbrs, _ = G.build_graph(emb, r=24, checkpoint_dir=ck)  # would be c=48
+        assert calls == []  # KNN phase resumed from the r=16 run's candidates
+        assert nbrs.shape[1] == 24
+        key2 = _json.load(open(tmp_path / "ckpt_knn.npy.json"))["key"]
+        assert key2 == key1
+
 
 class TestExactKnnRows:
     """Sampled-row exact oracle (exact_knn_rows) — the cheap validation gate
