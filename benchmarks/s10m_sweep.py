@@ -159,6 +159,10 @@ def main():
     # here against the device-resident default at 10M
     ap.add_argument("--token-residency", default="auto",
                     choices=["auto", "device", "host"])
+    # index artifact name inside out_dir — sweep a degree variant built by
+    # scale_10m.py --prefix (e.g. big10m_r48.leann) against the SAME cached
+    # oracles, since query sets and truth are prefix-independent
+    ap.add_argument("--prefix", default="big10m.leann")
     args = ap.parse_args()
 
     if args.oracle_only:
@@ -173,7 +177,7 @@ def main():
         print("DONE (oracle only)", flush=True)
         return
 
-    s = LeannSearcher(os.path.join(args.out_dir, "big10m.leann"),
+    s = LeannSearcher(os.path.join(args.out_dir, args.prefix),
                       token_residency=args.token_residency)
     for qset in args.query_sets.split(","):
         queries = json.load(open(os.path.join(args.out_dir, f"queries_{qset}.json")))
