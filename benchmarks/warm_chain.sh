@@ -31,6 +31,13 @@ N=10000000 OUT=$B/s10m LOG=/tmp/s10m.log \
   bash benchmarks/run_scale.sh --graph-degree 32 \
   && touch /tmp/chain_s10m_done
 
+echo "--- step 3b: 10M R=48 re-prune (reuses step 3's ckpt_knn; the bench
+headline variant — question recall 0.9844 @ 24 ms/q vs 0.9167 at R=32) ---"
+N=10000000 OUT=$B/s10m LOG=/tmp/r48.log \
+  LEANN_KNN_CANDIDATES=64 \
+  bash benchmarks/run_scale.sh --graph-degree 48 --prefix big10m_r48.leann \
+  && touch /tmp/chain_s10m_r48_done
+
 echo "--- step 4: 20M waypoint (R=24, f16) $(date -u +%FT%TZ) ---"
 N=20000000 OUT=$B/s20m LOG=/tmp/s20m.log \
   bash benchmarks/run_scale.sh \

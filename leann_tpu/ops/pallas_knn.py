@@ -43,14 +43,24 @@ _LANES = 128
 
 
 def _kernel(meta_ref, q_ref, c_ref, ov_ref, oi_ref):
-    """One [qb, T] strip: distances + running 128-lane bucket argmin.
+    """One 128-column *slab* of a strip: distances + running bucket min.
 
-    Distances here omit the per-query-row squared norm (a per-row CONSTANT:
-    it moves neither the bucket argmin nor any later within-row top-k; the
-    caller adds it back to the winner values outside the kernel, which also
-    keeps awkward [qb, 1] operand blocks out of Mosaic).
+    The grid is 2-D — (strip s, slab a) with the slab loop INNERMOST — and
+    the output block index depends only on ``s``, so Mosaic keeps the
+    [qb, 128] winner blocks resident in VMEM across the inner slab loop and
+    flushes them to HBM once per strip. Every value this kernel touches is
+    [qb, 128] or [128, D]: earlier single-grid designs that materialised the
+    [qb, t_strip] panel in-kernel (directly, or sliced out of a VMEM scratch
+    ref) made Mosaic's register allocator spill ~128 MB of stack — a compile
+    OOM on real TPU at ANY qb (measured 2026-08-20: 130.5 M / 127.2 M
+    against the 16 M scoped-vmem limit at qb=256).
 
-    Column norms are computed IN-KERNEL from the bf16 strip (f32 accumulate)
+    Distances omit the per-query-row squared norm (a per-row CONSTANT: it
+    moves neither the bucket min nor any later within-row top-k; the caller
+    adds it back outside the kernel, which also keeps awkward [qb, 1]
+    operand blocks out of Mosaic).
+
+    Column norms are computed IN-KERNEL from the bf16 slab (f32 accumulate)
     rather than streamed as an f32 input: a [1, T] norm block violates
     Mosaic's (8, 128) block-divisibility rule, and the recompute is one VPU
     reduction against an MXU-bound step. The ~1e-3 relative difference vs
@@ -58,42 +68,39 @@ def _kernel(meta_ref, q_ref, c_ref, ov_ref, oi_ref):
     approx_max_k target is 0.99).
 
     meta (SMEM i32[4]): [block_off, col_start, col_end_real, q_start]
-      block_off     — first strip of this call, in units of T rows of cshard
+      block_off     — first strip of this call, in units of t_strip rows
       col_start     — global id of cshard row 0 (column shard offset)
       col_end_real  — col_start + number of real (un-padded) shard rows
       q_start       — global id of query row 0 of this block
     """
     qb, d = q_ref.shape
-    t = c_ref.shape[0]
     s = pl.program_id(0)
-    col0 = meta_ref[1] + (meta_ref[0] + s) * t
+    a = pl.program_id(1)
+    t = pl.num_programs(1) * _LANES  # t_strip
+    col0 = meta_ref[1] + (meta_ref[0] + s) * t + a * _LANES
 
     dots = jax.lax.dot_general(
         q_ref[:], c_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    )  # [qb, 128]
     c32 = c_ref[:].astype(jnp.float32)
-    cn = jnp.sum(c32 * c32, axis=1)  # [T] column squared norms
-    dmat = cn[None, :] - 2.0 * dots  # [qb, T] squared l2 minus the |q|^2 row constant
-    ids = col0 + jax.lax.broadcasted_iota(jnp.int32, (qb, t), 1)
-    q_ids = meta_ref[3] + jax.lax.broadcasted_iota(jnp.int32, (qb, t), 0)
-    dmat = jnp.where((ids >= meta_ref[2]) | (ids == q_ids), INF, dmat)
+    cn = jnp.sum(c32 * c32, axis=1)  # [128] slab column squared norms
+    sl = cn[None, :] - 2.0 * dots    # squared l2 minus the |q|^2 row constant
+    ids = col0 + jax.lax.broadcasted_iota(jnp.int32, (qb, _LANES), 1)
+    q_ids = meta_ref[3] + jax.lax.broadcasted_iota(jnp.int32, (qb, _LANES), 0)
+    sl = jnp.where((ids >= meta_ref[2]) | (ids == q_ids), INF, sl)
 
-    # fold T columns into 128 lanes: slab a = columns [a*128, a*128+128);
-    # pure elementwise min/where over [qb, 128] slabs — no cross-lane traffic
-    # (static lane-aligned slices, not a sublane reshape, so Mosaic keeps the
-    # fold in vregs)
-    n_slab = t // _LANES
-    bv = dmat[:, :_LANES]
-    ba = jnp.zeros((qb, _LANES), jnp.int32)
-    for a in range(1, n_slab):
-        sl = dmat[:, a * _LANES : (a + 1) * _LANES]
+    @pl.when(a == 0)
+    def _init():
+        ov_ref[:] = sl
+        oi_ref[:] = ids
+
+    @pl.when(a != 0)
+    def _fold():
+        bv = ov_ref[:]
         upd = sl < bv
-        bv = jnp.where(upd, sl, bv)
-        ba = jnp.where(upd, a, ba)
-    ov_ref[:] = bv
-    oi_ref[:] = col0 + ba * _LANES + jax.lax.broadcasted_iota(
-        jnp.int32, (qb, _LANES), 1)
+        ov_ref[:] = jnp.where(upd, sl, bv)
+        oi_ref[:] = jnp.where(upd, ids, oi_ref[:])
 
 
 def panel_bucketmin_call(
@@ -115,18 +122,23 @@ def panel_bucketmin_call(
     qb, d = qe.shape
     assert tile % t_strip == 0 and t_strip % _LANES == 0
     n_steps = tile // t_strip
+    n_slab = t_strip // _LANES
     w = n_steps * _LANES  # 128 winners per strip -> t_strip/128-fold narrowing
+    # 2-d grid, slab innermost: the output block index ignores ``a``, so the
+    # winner blocks persist in VMEM across the inner loop (consecutive-step
+    # revisiting) and each corpus slab is read from HBM exactly once
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_steps,),
+        grid=(n_steps, n_slab),
         in_specs=[
-            pl.BlockSpec((qb, d), lambda s, m: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((t_strip, d), lambda s, m: (m[0] + s, 0),
+            pl.BlockSpec((qb, d), lambda s, a, m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_LANES, d),
+                         lambda s, a, m: ((m[0] + s) * n_slab + a, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((qb, _LANES), lambda s, m: (0, s), memory_space=pltpu.VMEM),
-            pl.BlockSpec((qb, _LANES), lambda s, m: (0, s), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, _LANES), lambda s, a, m: (0, s), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, _LANES), lambda s, a, m: (0, s), memory_space=pltpu.VMEM),
         ],
     )
     return pl.pallas_call(
@@ -136,6 +148,12 @@ def panel_bucketmin_call(
             jax.ShapeDtypeStruct((qb, w), jnp.float32),
             jax.ShapeDtypeStruct((qb, w), jnp.int32),
         ],
+        # Mosaic multiplies the per-step stack by its software-pipeline
+        # depth; the default 16 MB scoped-vmem budget overflows at qb=256
+        # (16.93 M measured) even though nothing in the kernel exceeds
+        # [qb, 128] f32. v5e VMEM is 128 MB; a standalone kernel dispatch
+        # can claim most of it.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
         interpret=interpret,
     )(meta, qe, cshard)
 
