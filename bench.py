@@ -785,19 +785,31 @@ def merge_stale_tiers(out, prev):
     return stale, stamps
 
 
-def probe_tpu(timeout_s: int = 240) -> bool:
+def probe_tpu(timeout_s: int = 240, attempts: int = 3, retry_sleep: int = 120) -> bool:
     """True when the tunneled TPU answers a devices()+matmul probe within the
     bound. The remote worker is known to wedge for hours (clients hang in
     futex wait, no error) — without this bound the driver's bench run would
-    hang forever instead of recording a labeled CPU-fallback number."""
+    hang forever instead of recording a labeled CPU-fallback number.
+
+    Retries: a single-shot probe once converted a ~3-min worker
+    crash-restart (transient, self-healing) into a full CPU-fallback bench
+    that dropped every TPU tier from the round's artifact. A busy or
+    restarting worker usually answers within a retry; a genuinely wedged
+    one fails all attempts and costs ~16 min before the labeled fallback."""
     code = ("import jax, numpy as np\n"
             "x = jax.numpy.ones((128, 128))\n"
             "np.asarray(x @ x)\n")
-    try:
-        return subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
-                              capture_output=True).returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for i in range(attempts):
+        try:
+            if subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                              capture_output=True).returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if i < attempts - 1:
+            log(f"TPU probe attempt {i + 1}/{attempts} failed; retrying in {retry_sleep}s")
+            time.sleep(retry_sleep)
+    return False
 
 
 def main():
