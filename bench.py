@@ -331,7 +331,14 @@ def measure_dpr21m():
     # writes big10m.leann
     prefix = ""
     if os.path.isdir(tier):
-        metas = [f for f in os.listdir(tier) if f.endswith(".leann.meta.json")]
+        metas = [f for f in os.listdir(tier) if f.endswith(".leann.meta.json")
+                 # the R=48 degree variant (dpr_r48.leann) is a deliberately
+                 # SECONDARY index: +2.6 recall points but 343.9 MB all-in vs
+                 # the R=32 tier's 276.5 MB — promoting it by mtime would
+                 # silently trade away the beats-the-reference storage
+                 # headline (324 MB, README.md:686). Measured under r48_*
+                 # keys below instead.
+                 and not f.startswith("dpr_r48.")]
         if len(metas) > 1:
             # a leftover partial build alongside a fresh rebuild: benching the
             # alphabetically-first one against the newer truth.npy would be
@@ -404,6 +411,22 @@ def measure_dpr21m():
     else:  # no persisted embedding matrix -> no held-out oracle possible
         extra["recall_at_3_dpr21m"] = round(recall_against(truth, labels_b), 4)
         extra["recall_protocol_dpr21m"] = "prefix"
+    # R=48 degree variant (dpr_r48.leann, built by reusing the R=32 tier's
+    # degree-independent KNN checkpoint): secondary keys — higher recall,
+    # larger index; the R=32 tier above stays the storage headline
+    r48 = os.path.join(tier, "dpr_r48.leann")
+    if os.path.exists(r48 + ".meta.json"):
+        s48 = LeannSearcher(r48)
+        hq48, ht48 = heldout.get("question", (queries, truth))
+        s48.search(hq48, **kw)  # compile warmup (same batch shape as timed)
+        t0 = time.time()
+        res48 = s48.search(hq48, **kw)
+        extra["r48_batched_ms_per_query_dpr21m"] = round(
+            (time.time() - t0) * 1000 / len(hq48), 2)
+        labels48 = [[int(r.id) for r in row] for row in res48]
+        extra["r48_recall_at_3_dpr21m"] = round(recall_against(ht48, labels48), 4)
+        extra["r48_index_bytes_dpr21m"] = index_all_in_bytes(r48)
+
     return {
         "n_chunks_dpr": n,
         **extra,
