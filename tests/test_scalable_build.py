@@ -217,6 +217,46 @@ class TestSpillKnnStreamed:
         assert r_stream >= r_exact - 0.08, f"streamed-built {r_stream} vs exact-built {r_exact}"
         _ = dummy
 
+    def test_build_graph_descent_path(self, rng, monkeypatch):
+        """Forced-threshold e2e through LEANN_KNN_MODE=descent (the 60M
+        single-chip candidate generator, VERDICT r3 #4): build_graph must
+        route beyond-EXACT_KNN_MAX_N corpora through cluster-bootstrapped
+        NN-descent and produce a graph whose search recall tracks the
+        exact-built one."""
+        import jax.numpy as jnp
+
+        from leann_tpu.ops import graph as G
+        from leann_tpu.ops.beam_search import BeamConfig, GraphData, beam_search_batch
+
+        emb = self._clustered(rng)
+        n = emb.shape[0]
+        monkeypatch.setattr(G, "EXACT_KNN_MAX_N", 1000)
+        monkeypatch.setenv("LEANN_KNN_MODE", "descent")
+        g, med = G.build_graph(emb, r=8)
+        monkeypatch.setattr(G, "EXACT_KNN_MAX_N", 10**9)
+        monkeypatch.delenv("LEANN_KNN_MODE")
+        g2, _ = G.build_graph(emb, r=8)
+
+        entries = np.unique(np.concatenate([[med], np.arange(0, n, 64)])).astype(np.int32)
+        q = emb[:48]
+        dd = ((q[:, None, :] - emb[None]) ** 2).sum(-1)
+        truth = np.argsort(dd, axis=1)[:, :5]
+        cfg = BeamConfig(metric="l2", k=5, complexity=48, beam=4, max_steps=48,
+                         traversal="stored", n_entries=16)
+
+        def rec(graph):
+            gd = GraphData(neighbors=jnp.asarray(graph), entry_ids=jnp.asarray(entries),
+                           emb=jnp.asarray(emb), tokens=jnp.zeros((1, 1), jnp.int32),
+                           lengths=jnp.zeros((1,), jnp.int32),
+                           codes=jnp.zeros((1, 1), jnp.uint8),
+                           codebooks=jnp.zeros((1, 1, 1), jnp.float32), entry_emb=None)
+            labels, _, _, _ = beam_search_batch(jnp.asarray(q), gd, cfg)
+            labels = np.asarray(labels)
+            return np.mean([len(set(a.tolist()) & set(b.tolist())) for a, b in zip(labels, truth)]) / 5
+
+        r_desc, r_exact = rec(g), rec(g2)
+        assert r_desc >= r_exact - 0.08, f"descent-built {r_desc} vs exact-built {r_exact}"
+
 
 class TestPQPrune:
     """The beyond-HBM prune (20M+ rows): candidates decoded on-chip from
