@@ -425,6 +425,10 @@ def measure_dpr21m():
             (time.time() - t0) * 1000 / len(hq48), 2)
         labels48 = [[int(r.id) for r in row] for row in res48]
         extra["r48_recall_at_3_dpr21m"] = round(recall_against(ht48, labels48), 4)
+        # label the protocol: without a persisted embedding matrix the
+        # fallback is prefix self-retrieval, not comparable across rounds
+        extra["r48_recall_protocol_dpr21m"] = (
+            "question" if "question" in heldout else "prefix")
         extra["r48_index_bytes_dpr21m"] = index_all_in_bytes(r48)
 
     return {

@@ -72,6 +72,21 @@ QUESTION_TEMPLATES = [
 ]
 
 
+def question_for_chunk(chunk, rng):
+    """One NL question over entity words sampled from the whole chunk — the
+    SINGLE source of the question shape, shared by the eval protocol
+    (make_queries mode='question') and the contrastive training pairs
+    (benchmarks/train_encoder.py), so the trained-encoder tier really is
+    evaluated on the distribution it trained on."""
+    words = chunk.split()
+    take = rng.choice(len(words), size=min(6, len(words)), replace=False)
+    ents = [words[int(t)] for t in np.sort(take)]
+    while len(ents) < 6:  # degenerate short chunks
+        ents.append(ents[-1])
+    t = QUESTION_TEMPLATES[int(rng.integers(len(QUESTION_TEMPLATES)))]
+    return t.format(" ".join(ents[0:2]), " ".join(ents[2:4]), " ".join(ents[4:6]))
+
+
 def make_queries(chunks, n_queries=32, seed=0, n_words=12, mode="prefix"):
     """mode='prefix': verbatim n_words-word chunk prefixes (the optimistic
     self-retrieval protocol). mode='perturbed': dropout/reorder/substitution
@@ -84,17 +99,7 @@ def make_queries(chunks, n_queries=32, seed=0, n_words=12, mode="prefix"):
     if mode == "prefix":
         return [" ".join(chunks[i].split()[:n_words]) for i in idx], idx
     if mode == "question":
-        queries = []
-        for i in idx:
-            words = chunks[i].split()
-            take = rng.choice(len(words), size=min(6, len(words)), replace=False)
-            ents = [words[int(t)] for t in np.sort(take)]
-            while len(ents) < 6:  # degenerate short chunks
-                ents.append(ents[-1])
-            t = QUESTION_TEMPLATES[int(rng.integers(len(QUESTION_TEMPLATES)))]
-            queries.append(t.format(" ".join(ents[0:2]), " ".join(ents[2:4]),
-                                    " ".join(ents[4:6])))
-        return queries, idx
+        return [question_for_chunk(chunks[i], rng) for i in idx], idx
     if mode != "perturbed":
         raise ValueError(f"unknown query mode {mode!r}")
     # substitution vocabulary from a fixed sample of the corpus itself

@@ -45,13 +45,10 @@ DEFAULT_DIR = os.path.expanduser("~/.cache/leann_tpu_bench/s10m")
 def ensure_oracle(out_dir: str, n_chunks: int, n_queries: int, max_length: int) -> None:
     """Regenerate + persist embeddings, query sets, and exact truth if absent."""
     os.makedirs(out_dir, exist_ok=True)
-    want = [
-        os.path.join(out_dir, "emb_f16.npy"),
-        os.path.join(out_dir, "queries_prefix12.json"),
-        os.path.join(out_dir, "queries_full.json"),
-        os.path.join(out_dir, "truth_prefix12.npy"),
-        os.path.join(out_dir, "truth_full.npy"),
-    ]
+    want = [os.path.join(out_dir, "emb_f16.npy")]
+    for s in ("prefix12", "full", "question"):
+        want += [os.path.join(out_dir, f"queries_{s}.json"),
+                 os.path.join(out_dir, f"truth_{s}.npy")]
     if all(os.path.exists(p) for p in want):
         print("oracle artifacts present; skipping regen", flush=True)
         return
@@ -122,13 +119,19 @@ def ensure_oracle(out_dir: str, n_chunks: int, n_queries: int, max_length: int) 
     del chunks
     for name, qs in sets.items():
         tp = os.path.join(out_dir, f"truth_{name}.npy")
-        json.dump(qs, open(os.path.join(out_dir, f"queries_{name}.json"), "w"))
-        if os.path.exists(tp):
+        qp = os.path.join(out_dir, f"queries_{name}.json")
+        # (queries, truth) are written TOGETHER or not at all: a cached pair
+        # is trusted as internally consistent downstream (bench.py
+        # heldout_scale_protocol), so overwriting just the queries file
+        # against an older truth would silently desync the protocol
+        if os.path.exists(tp) and os.path.exists(qp):
             continue
         qv = enc.encode(qs)
         qv /= np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
         t0 = time.time()
-        np.save(tp, host_oracle(emb, qv, 10))
+        truth = host_oracle(emb, qv, 10)
+        np.save(tp, truth)
+        json.dump(qs, open(qp, "w"))
         print(f"[{time.time() - t0:.0f}s] oracle({name}) saved", flush=True)
 
 

@@ -58,16 +58,6 @@ def ensure_base_ckpt(path):
     BertModel(cfg).save_pretrained(path)
 
 
-def question_for_chunk(chunk, rng, templates):
-    words = chunk.split()
-    take = rng.choice(len(words), size=min(6, len(words)), replace=False)
-    ents = [words[int(t)] for t in np.sort(take)]
-    while len(ents) < 6:
-        ents.append(ents[-1])
-    t = templates[int(rng.integers(len(templates)))]
-    return t.format(" ".join(ents[0:2]), " ".join(ents[2:4]), " ".join(ents[4:6]))
-
-
 def main():
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
     ap = argparse.ArgumentParser()
@@ -98,7 +88,7 @@ def main():
     from dataclasses import replace
 
     import jax
-    from bench_common import QUESTION_TEMPLATES, make_queries, tie_aware_recall
+    from bench_common import make_queries, question_for_chunk, tie_aware_recall
     from jax.sharding import Mesh
     from scale_500k import synth_corpus
 
@@ -134,7 +124,7 @@ def main():
     loss = float("nan")
     for step in range(args.steps):
         idx = trng.choice(train_ids, b, replace=False)
-        qs = [question_for_chunk(chunks[i], trng, QUESTION_TEMPLATES) for i in idx]
+        qs = [question_for_chunk(chunks[i], trng) for i in idx]
         ds = [chunks[i] for i in idx]
         q_ids, q_mask = tok.encode_batch(qs, args.max_length)
         d_ids, d_mask = tok.encode_batch(ds, args.max_length)
