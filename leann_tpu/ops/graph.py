@@ -820,15 +820,34 @@ def cluster_window_init(
         order = np.argsort(exp_cluster, kind="stable")
         exp_orig = exp_node[order]  # [n*p] original node per expanded row
 
+    del emb_p  # frees the assign-phase device copy before the window pass
+
     ne = exp_orig.shape[0]
     np_w = _bucket_rows(ne, window)
-    emb_o = jnp.asarray(_pad_rows(emb[exp_orig], np_w))
-    ids_w, dists_w = _window_knn_device(
-        emb_o.astype(jnp.bfloat16), jnp.sum(jnp.square(emb_o.astype(jnp.float32)), axis=1),
-        jnp.int32(ne), k, window,
-    )
-    ids_w = np.asarray(ids_w)[:ne]
-    dists_w = np.asarray(dists_w)[:ne]
+    # Chunked window pass: windows are self-contained, so the sorted
+    # (n_probe-expanded) matrix streams through the device one bf16 slice at
+    # a time. Materialising it whole OOM'd HBM at scale — at 10M x 2 probes
+    # the expanded copy alone is 15.4 GB (plus the still-live assign copy),
+    # measured as a ResourceExhausted in the 2.1M validation run next to a
+    # resident build slab (2026-08-20).
+    slice_rows = max(window, ((1 << 21) // window) * window)
+    ids_w = np.empty((ne, k), np.int32)
+    dists_w = np.empty((ne, k), np.float32)
+    for s in range(0, np_w, slice_rows):
+        e = min(s + slice_rows, np_w)
+        n_sl = min(e, ne) - s  # real rows in this slice
+        if n_sl <= 0:
+            break
+        block_h = np.zeros((e - s, d), np.float32)
+        block_h[:n_sl] = emb[exp_orig[s : s + n_sl]]
+        i_sl, d_sl = _window_knn_device(
+            jnp.asarray(block_h, jnp.bfloat16),
+            jnp.asarray(np.einsum("ij,ij->i", block_h, block_h, dtype=np.float32)),
+            jnp.int32(n_sl), k, window,
+        )
+        i_sl = np.asarray(i_sl)[:n_sl]
+        ids_w[s : s + n_sl] = np.where(i_sl >= 0, i_sl + s, -1)
+        dists_w[s : s + n_sl] = np.asarray(d_sl)[:n_sl]
     # map window-order ids back to original labels
     ids = np.where(ids_w >= 0, exp_orig[np.clip(ids_w, 0, ne - 1)], -1).astype(np.int32)
 
