@@ -138,8 +138,11 @@ class DiskannBuilder(LeannBackendBuilderInterface):
             # a read-only memmap on resumed scale runs) and the token rewrite
             assign = np.zeros(n, np.int32)
 
+        import time as _time
+
         m = choose_m(d, self.pq_subspaces)
         rotation = None
+        t_pq = _time.time()
         if self.pq_rotate:
             # factorized on disk (rotation + plain codebooks, ~1 MB) — the
             # ~19 MB lifted tensor is reconstituted at load (ops/pq.py)
@@ -147,7 +150,9 @@ class DiskannBuilder(LeannBackendBuilderInterface):
             codebooks = lift_codebooks(rotation, cb_plain)
         else:
             codebooks = cb_plain = train_pq(data, m=m)
+        logger.info("diskann build: pq codebooks trained M=%d (%.0fs)", m, _time.time() - t_pq)
         codes = encode_pq_blocked(data, codebooks)
+        logger.info("diskann build: %d rows encoded (%.0fs)", n, _time.time() - t_pq)
         payload = {
             **pack_neighbors(neighbors),  # sorted-delta deflate (storage.py)
             "medoid": np.int32(medoid),
@@ -166,6 +171,8 @@ class DiskannBuilder(LeannBackendBuilderInterface):
             # pool embeddings (f16, <=25% of rows by _entry_pool's cap):
             # exact MXU seed screening
             payload["entry_emb"] = data[payload["entries"]].astype(np.float16)
+        logger.info("diskann build: persisting %s (codes %.2f GB, packed graph)",
+                    f"{index_path}.diskann.npz", codes.nbytes / 2**30)
         np.savez(f"{index_path}.diskann.npz", **payload)
         save_partition(index_path, assign)  # counts after relayout (step fn)
         logger.info(

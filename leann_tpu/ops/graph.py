@@ -1757,6 +1757,11 @@ def build_graph(
     neighbors = np.empty((np_total, r), np.int32)
     d_emb = emb.shape[1]
     pq_mode = np_total * d_emb * 2 > PRUNE_EBF_MAX_BYTES
+    # every step below this line dispatches to the device; the 20M kill-loop
+    # of round 4 came from >40 min of silent compile+encode here tripping the
+    # run_scale.sh log-stall watchdog, so log each stage as it starts
+    logger.info("prune: %d rows (padded %d), blk=%d, cw=%d, pq_mode=%s (%.1fs)",
+                n, np_total, blk, cw, pq_mode, time.time() - t0)
 
     if pq_mode:
         # beyond-HBM prune: corpus lives on device as PQ codes; each
@@ -1772,19 +1777,42 @@ def build_graph(
         m = _prune_pq_m(d_emb)
         d_pq = d_emb if m else ((d_emb + 5) // 6) * 6
         m = m or d_pq // 6
-        samp = np.asarray(_bucket_sample(emb, 65536, np.random.default_rng(0)), np.float32)
-        if d_pq != d_emb:
-            samp = np.pad(samp, ((0, 0), (0, d_pq - d_emb)))
-        cb = train_pq(samp, m=m, n_iters=8, sample=samp.shape[0])
-        cb_d = jnp.asarray(cb)
-        codes_h = np.zeros((np_total, m), np.uint8)
-        enc_blk = 1 << 16
-        for s in range(0, n, enc_blk):
-            rows32 = np.asarray(emb[s : s + enc_blk], np.float32)
+        codes_ckpt = os.path.join(checkpoint_dir, "ckpt_prune_codes.npy") if checkpoint_dir else ""
+        codes_key = f"{key}_prunepq_m{m}"
+        codes_h = _ckpt_load(codes_ckpt, codes_key) if codes_ckpt else None
+        cb = _ckpt_load(codes_ckpt + ".cb.npy", codes_key) if codes_ckpt else None
+        codes_d = None
+        if codes_h is not None and cb is not None and codes_h.shape[0] >= np_total:
+            logger.info("prune pq: resumed %d codes from %s", codes_h.shape[0], codes_ckpt)
+            cb_d = jnp.asarray(np.asarray(cb))
+            codes_d = jnp.asarray(np.ascontiguousarray(codes_h[:np_total]))
+        if codes_d is None:
+            samp = np.asarray(_bucket_sample(emb, 65536, np.random.default_rng(0)), np.float32)
+            logger.info("prune pq: sampled %d rows for codebook training (%.1fs)",
+                        samp.shape[0], time.time() - t0)
             if d_pq != d_emb:
-                rows32 = np.pad(rows32, ((0, 0), (0, d_pq - d_emb)))
-            codes_h[s : s + rows32.shape[0]] = np.asarray(encode_pq(jnp.asarray(rows32), cb_d))
-        codes_d = jnp.asarray(codes_h)
+                samp = np.pad(samp, ((0, 0), (0, d_pq - d_emb)))
+            cb = train_pq(samp, m=m, n_iters=8, sample=samp.shape[0])
+            logger.info("prune pq: codebooks trained M=%d ds=%d (%.1fs)", m, d_pq // m,
+                        time.time() - t0)
+            cb_d = jnp.asarray(cb)
+            codes_h = np.zeros((np_total, m), np.uint8)
+            enc_blk = 1 << 16
+            # f16 host matrices upload in their native width (encode_pq widens
+            # on device) — the tunnel is ~17 MB/s and transfer dominates here
+            up_dt = np.float16 if (emb.dtype == np.float16 and d_pq == d_emb) else np.float32
+            for ei, s in enumerate(range(0, n, enc_blk)):
+                rows_u = np.asarray(emb[s : s + enc_blk], up_dt)
+                if d_pq != d_emb:
+                    rows_u = np.pad(rows_u, ((0, 0), (0, d_pq - d_emb)))
+                codes_h[s : s + rows_u.shape[0]] = np.asarray(encode_pq(jnp.asarray(rows_u), cb_d))
+                if ei % 32 == 31:
+                    logger.info("prune pq encode: %d/%d rows (%.0fs)",
+                                s + rows_u.shape[0], n, time.time() - t0)
+            if codes_ckpt:
+                _ckpt_save(codes_ckpt + ".cb.npy", codes_key, np.asarray(cb))
+                _ckpt_save(codes_ckpt, codes_key, codes_h)
+            codes_d = jnp.asarray(codes_h)
         del codes_h
         logger.info("prune pq trained+encoded: M=%d ds=%d codes %.2f GB on device (%.1fs)",
                     m, d_pq // m, codes_d.nbytes / 2**30, time.time() - t0)
@@ -1798,7 +1826,7 @@ def build_graph(
                 r, float(alpha), keep_closest, blk, n_blocks=nb,
             )
             neighbors[s : s + nb * blk] = np.asarray(sel)
-            if di % 16 == 15:
+            if di < 4 or di % 16 == 15:  # early dispatches carry the compile
                 logger.info("prune(pq): %d/%d rows (%.0fs)", s + nb * blk, np_total, time.time() - t0)
         del codes_d
     else:

@@ -104,7 +104,10 @@ def train_pq(
 @jax.jit
 def encode_pq(x: jnp.ndarray, codebooks: jnp.ndarray) -> jnp.ndarray:
     """x [B, D], codebooks [M, K, ds] (plain) or [M, K, D] (lifted OPQ)
-    -> codes u8[B, M]."""
+    -> codes u8[B, M]. Accepts f16/bf16 x (cast here): callers stream blocks
+    over the ~17 MB/s tunnel, so uploading the host matrix's native f16 and
+    widening on device halves the dominant transfer cost of a 20M+ encode."""
+    x = x.astype(jnp.float32)
     m, k, ds = codebooks.shape
     if m * ds != x.shape[1]:  # lifted: argmin_k ||B||^2 - 2 x.B
         dots = jax.lax.dot_general(
@@ -218,12 +221,25 @@ def lift_codebooks(rotation: np.ndarray, cb: np.ndarray) -> np.ndarray:
 
 
 def encode_pq_blocked(x: np.ndarray, codebooks: np.ndarray, block: int = 16384) -> np.ndarray:
+    import logging
+    import time
+
+    log = logging.getLogger(__name__)
+    t0 = time.time()
     cb = jnp.asarray(codebooks)
     out = np.empty((x.shape[0], codebooks.shape[0]), dtype=np.uint8)
-    for s in range(0, x.shape[0], block):
+    # f16 host matrices upload as f16 (half the tunnel bytes); encode_pq
+    # widens on device. Other dtypes still go up as f32.
+    up_dt = np.float16 if x.dtype == np.float16 else np.float32
+    for bi, s in enumerate(range(0, x.shape[0], block)):
         out[s : s + block] = np.asarray(
-            encode_pq(jnp.asarray(np.asarray(x[s : s + block], dtype=np.float32)), cb)
+            encode_pq(jnp.asarray(np.asarray(x[s : s + block], dtype=up_dt)), cb)
         )
+        # visible progress: at 20M rows this loop is >1000 dispatches over the
+        # tunnel — silence here trips the scale-run log-stall watchdog
+        if bi % 64 == 63:
+            log.info("encode_pq_blocked: %d/%d rows (%.0fs)",
+                     min(s + block, x.shape[0]), x.shape[0], time.time() - t0)
     return out
 
 

@@ -38,6 +38,39 @@ class TestBuildGraphCheckpoint:
         g3, _ = build_graph(corpus, r=8, checkpoint_dir=ck)
         np.testing.assert_array_equal(g1, g3)
 
+    def test_pq_prune_codes_checkpoint(self, corpus, tmp_path, monkeypatch):
+        """The beyond-HBM PQ prune (20M+ path) checkpoints its trained
+        codebook + corpus codes: a killed prune resumes without re-paying the
+        train+encode dispatches (the round-4 20M kill-loop), and the resumed
+        graph is bit-identical."""
+        from leann_tpu.ops import graph as G
+
+        monkeypatch.setattr(G, "PRUNE_EBF_MAX_BYTES", 1)  # force the PQ path
+        ck = str(tmp_path / "ck")
+        g1, m1 = G.build_graph(corpus, r=8, checkpoint_dir=ck)
+        assert os.path.exists(os.path.join(ck, "ckpt_prune_codes.npy"))
+        assert os.path.exists(os.path.join(ck, "ckpt_prune_codes.npy.cb.npy"))
+
+        # drop the pruned-graph artifact: the rerun must resume from the
+        # codes checkpoint (not retrain) and reproduce the same graph
+        os.remove(os.path.join(ck, "ckpt_pruned.npy"))
+        import leann_tpu.ops.pq as PQ
+
+        calls = []
+        orig = PQ.train_pq
+
+        def spy(*a, **kw):
+            calls.append(1)
+            return orig(*a, **kw)
+
+        # graph.py imports train_pq from .pq inside the prune block, so the
+        # module-level patch is the one that intercepts
+        monkeypatch.setattr(PQ, "train_pq", spy)
+        g2, m2 = G.build_graph(corpus, r=8, checkpoint_dir=ck)
+        assert not calls, "resume must not retrain the prune codebooks"
+        assert m1 == m2
+        np.testing.assert_array_equal(g1, g2)
+
     def test_stale_key_rejected(self, corpus, rng, tmp_path):
         """A checkpoint from a different corpus or different params must be
         ignored, never loaded."""
