@@ -306,11 +306,14 @@ def heldout_scale_protocol(tier, enc, n, modes=("perturbed", "question"),
         if emb_n is None:
             emb_n = np.load(emb_path, mmap_mode="r")
         t0 = time.time()
-        truth = host_oracle(emb_n, qv, 3)
+        # top-10 on disk, @3 at use sites: the shared filename contract with
+        # s10m_sweep.py is ONE width (ADVICE r4 — a 3-col file under this
+        # name would silently truncate any consumer reading more columns)
+        truth = host_oracle(emb_n, qv, 10)
         log(f"{os.path.basename(tier)} {m} oracle computed in {time.time()-t0:.0f}s")
         np.save(tp, truth)
         json.dump(q, open(qp, "w"))
-        out[m] = (q, truth)
+        out[m] = (q, truth[:, :3])
     return out
 
 
@@ -805,6 +808,16 @@ def merge_stale_tiers(out, prev):
             stamps[tag] = now
             continue
         prev_keys = {k: v for k, v in prev.items() if pred(k)}
+        # protocol guard (ADVICE r4): a tier recorded under a pre-rename
+        # protocol must not merge its recall_at_3_* under the current
+        # question-protocol headline. Tiers that carry a marker key merge
+        # only when it says "question"; the trained tier has no marker
+        # convention and merges as-is.
+        marker = f"recall_protocol_{tag}"
+        if prev_keys and tag != "trained" and prev_keys.get(marker) != "question":
+            log(f"stale-merge: dropping tier '{tag}' (prev protocol "
+                f"{prev_keys.get(marker)!r} != 'question')")
+            continue
         if prev_keys:
             out.update(prev_keys)
             stamps[tag] = prev_stamps.get(tag, prev.get("recorded_at_utc", "?"))

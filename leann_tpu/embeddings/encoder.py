@@ -257,6 +257,13 @@ class JaxEncoder:
         # tokenizer built from the placeholder's vocab_size (32768) would
         # emit ids past the loaded tok_emb (e.g. 4096 rows) — the jit gather
         # clamps them all onto the last row, silently collapsing tokens
+        if params is not None and "tok_emb" in params:
+            # explicit params=: the same clamp hazard, fixed the same way —
+            # the tokenizer's id space must come from the supplied embedding
+            # table, not the name-resolved placeholder cfg (ADVICE r4)
+            rows = int(params["tok_emb"].shape[0])
+            if rows != self.cfg.vocab_size:
+                self.cfg = replace(self.cfg, vocab_size=rows)
         self.tokenizer = get_tokenizer(model_name, vocab_size=self.cfg.vocab_size, max_length=self.cfg.max_len)
         self._jit = functools.partial(jax.jit, static_argnames=("cfg",))(encode_tokens)
 

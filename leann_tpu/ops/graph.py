@@ -161,8 +161,26 @@ def _knn_panel_impl() -> str:
     approx_max_k over the full [qb, tile] panel) or "pallas" (fused VMEM
     distance + bucket-argmin kernel — the raw panel never touches HBM, see
     ops/pallas_knn.py). "pallas_interpret" runs the kernel in interpret mode
-    (CPU tests)."""
-    return os.environ.get("LEANN_KNN_PANEL", "xla")
+    (CPU tests).
+
+    The compiled (non-interpret) kernel faulted the shared TPU worker on its
+    first real execution (docs/roadmap.md round-4 adjudication); until that
+    is root-caused in a declared hardware-debug window it must not be one
+    env-var typo away from crashing a live worker mid-build — request it
+    explicitly as ``pallas_unsafe`` (ADVICE r4)."""
+    v = os.environ.get("LEANN_KNN_PANEL", "xla")
+    if v == "pallas":
+        import jax as _jax
+
+        if any(d.platform != "cpu" for d in _jax.devices()):
+            raise RuntimeError(
+                "LEANN_KNN_PANEL=pallas is gated on real TPU: the compiled "
+                "kernel faulted the shared worker on first execution "
+                "(docs/roadmap.md). Set LEANN_KNN_PANEL=pallas_unsafe to "
+                "acknowledge the risk, or use pallas_interpret on CPU.")
+    if v == "pallas_unsafe":
+        return "pallas"
+    return v
 
 
 def _panel_winners(panel: str, qe, qn, cshard, ti, tile: int,
@@ -1680,7 +1698,12 @@ def build_graph(
     # ckpt_knn.npy instead of paying the multi-hour candidate pass again
     c_env = int(os.environ.get("LEANN_KNN_CANDIDATES", "0") or 0)
     if c_env > 0:
-        c = min(c_env, max(n - 1, 1))
+        if c_env < r:
+            # a width below R would silently build a graph whose candidate
+            # lists are narrower than the requested degree (ADVICE r4)
+            logger.warning("LEANN_KNN_CANDIDATES=%d < graph degree R=%d; "
+                           "clamping to R", c_env, r)
+        c = min(max(c_env, r), max(n - 1, 1))
     if keep_closest < 0:
         keep_closest = r // 4
     rc_tag = f"_rc{reverse_candidates}" if reverse_candidates > 0 else ""
