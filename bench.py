@@ -825,6 +825,118 @@ def merge_stale_tiers(out, prev):
     return stale, stamps
 
 
+def render_scale_table(f):
+    """Render the README scale-table rows from a bench output dict — ONE
+    source of truth (VERDICT r4 weak #2: README claimed numbers the recorded
+    artifact didn't reproduce). Returns markdown lines."""
+    # decimal units: the reference's published storage numbers (324 MB DPR,
+    # 6 GB at 60M) are decimal, and comparisons must be like-for-like
+    mb = lambda b: b / 1e6  # noqa: E731
+    gb = lambda b: b / 1e9  # noqa: E731
+    rows = ["| Corpus | Question recall@3 | Latency (batched) | Index vs flat f32 |",
+            "|---|---|---|---|"]
+    if "recall_at_3_100k" in f:
+        sav = f.get("storage_savings", 1 - f["index_bytes_100k"] / f["flat_baseline_bytes_100k"]) * 100
+        rows.append(
+            f"| 100K chunks, 768-d 12L encoder | {f['recall_at_3_100k']:.2f} "
+            f"| {f['batched_ms_per_query_100k']:.1f} ms/q "
+            f"| {mb(f['index_bytes_100k']):.1f} MB vs {mb(f['flat_baseline_bytes_100k']):.0f} MB "
+            f"({sav:.1f}% savings) |")
+    if "recall_at_3_dpr21m" in f:
+        diag = []
+        if "perturbed_recall_at_3_dpr21m" in f:
+            diag.append(f"perturbed {f['perturbed_recall_at_3_dpr21m']:.3f}")
+        if "prefix_recall_at_3_dpr21m" in f:
+            diag.append(f"prefix {f['prefix_recall_at_3_dpr21m']:.3f}")
+        d = f" ({', '.join(diag)})" if diag else ""
+        sav = (1 - f["index_bytes_dpr21m"] / f["flat_baseline_bytes_dpr21m"]) * 100
+        rows.append(
+            f"| **2.1M chunks (DPR scale)** | **{f['recall_at_3_dpr21m']:.3f}**{d} "
+            f"| {f['batched_ms_per_query_dpr21m']:.1f} ms/q "
+            f"| **{mb(f['index_bytes_dpr21m']):.1f} MB vs {gb(f['flat_baseline_bytes_dpr21m']):.2f} GB "
+            f"({sav:.1f}% savings)** |")
+    if "r48_recall_at_3_dpr21m" in f:
+        rows.append(
+            f"| 2.1M chunks, R=48 variant | {f['r48_recall_at_3_dpr21m']:.3f} "
+            f"| {f.get('r48_batched_ms_per_query_dpr21m', float('nan')):.1f} ms/q "
+            f"| {mb(f['r48_index_bytes_dpr21m']):.1f} MB |")
+    for tag, label in (("10m", "10M chunks"), ("20m", "20M chunks")):
+        if f.get(f"recall_at_3_{tag}") is None:
+            continue
+        sav = f.get(f"storage_savings_{tag}",
+                    1 - f[f"index_bytes_{tag}"] / f[f"flat_baseline_bytes_{tag}"]) * 100
+        best = {}
+        for pt in f.get(f"recall_curve_{tag}", []):
+            if pt["recall_at_3"] == f[f"recall_at_3_{tag}"]:
+                best = pt
+        cx = f" (cx{best['complexity']})" if best else ""
+        rows.append(
+            f"| **{label}** | **{f[f'recall_at_3_{tag}']:.3f}**{cx} "
+            f"| {f[f'batched_ms_per_query_{tag}']:.1f} ms/q "
+            f"| **{gb(f[f'index_bytes_{tag}']):.2f} GB vs {gb(f[f'flat_baseline_bytes_{tag}']):.2f} GB "
+            f"({sav:.1f}% savings)** |")
+    note = f"\n_Last bench: {f.get('recorded_at_utc', time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime()))}"
+    if f.get("contended"):
+        note += " — **host contended** (a scale build shared the single host core); latency rows are upper bounds"
+    if f.get("stale_tiers"):
+        note += f"; stale tiers carried from a prior run: {', '.join(f['stale_tiers'])}"
+    note += "_"
+    rows.append(note)
+    return rows
+
+
+README_BEGIN = "<!-- bench:scale-table (generated by bench.py from the recorded artifact; do not edit by hand) -->"
+README_END = "<!-- /bench:scale-table -->"
+
+
+def update_readme_table(final, readme=None):
+    """Rewrite README.md's scale table between the markers from the final
+    bench dict, so README and the recorded artifact cannot diverge."""
+    readme = readme or os.path.join(os.path.dirname(os.path.abspath(__file__)), "README.md")
+    if not os.path.exists(readme):
+        return False
+    text = open(readme, encoding="utf-8").read()
+    if README_BEGIN not in text or README_END not in text:
+        return False
+    head, rest = text.split(README_BEGIN, 1)
+    _, tail = rest.split(README_END, 1)
+    body = "\n".join(render_scale_table(final))
+    open(readme, "w", encoding="utf-8").write(
+        head + README_BEGIN + "\n" + body + "\n" + README_END + tail)
+    return True
+
+
+def detect_contention():
+    """Detect a concurrent scale build / warm chain sharing the single host
+    core (VERDICT r4 weak #1: the 20M build inflated the recorded 100K
+    headline 2.85x with no label on the artifact). Returns a dict of
+    contention keys for the output JSON — {'contended': False} when clean.
+
+    Signals: (a) another live python process running a scale/bench workload
+    (cmdline scan of /proc — read-only), (b) 1-min load average vs the
+    single core this image has."""
+    self_pid = os.getpid()
+    procs = []
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit() or int(pid) == self_pid:
+            continue
+        try:
+            cmd = open(f"/proc/{pid}/cmdline", "rb").read().decode(errors="replace")
+        except OSError:
+            continue
+        if any(s in cmd for s in ("scale_10m.py", "scale_500k.py", "warm_chain",
+                                  "run_scale.sh", "train_encoder.py")):
+            procs.append(cmd.replace("\0", " ").strip()[:120])
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:
+        load1 = 0.0
+    out = {"contended": bool(procs) or load1 > 1.5, "load_1min": round(load1, 2)}
+    if procs:
+        out["contention_procs"] = procs[:4]
+    return out
+
+
 def probe_tpu(timeout_s: int = 240, attempts: int = 3, retry_sleep: int = 120) -> bool:
     """True when the tunneled TPU answers a devices()+matmul probe within the
     bound. The remote worker is known to wedge for hours (clients hang in
@@ -859,6 +971,10 @@ def main():
         os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)], env)
 
     cpu_mode = os.environ.get("LEANN_BENCH_PLATFORM") == "cpu"
+    contention = detect_contention()
+    if contention["contended"]:
+        log(f"WARNING: host contention detected {contention} — latency rows "
+            "from this run are upper bounds, not clean measurements")
     out = {}
     if not cpu_mode:
         log("=== 100K cached tier ===")
@@ -888,6 +1004,11 @@ def main():
         # successful run, labeled stale with their original timestamps
         stale, stamps = merge_stale_tiers(out, prev)
 
+    # re-check at the end: a warm-chain rebuild can start mid-bench
+    c_end = detect_contention()
+    if c_end["contended"] and not contention["contended"]:
+        contention = {**c_end, "contention_note": "started mid-bench"}
+
     headline = out["toy_batched_ms_per_query"] if cpu_mode else out["batched_ms_per_query_100k"]
     final = {
         "metric": ("batched_recompute_search_ms_per_query_toy_CPU_FALLBACK" if cpu_mode
@@ -904,6 +1025,7 @@ def main():
         # protocol wherever an oracle exists; prefix self-retrieval is the
         # prefix_* diagnostic (VERDICT r3 #6)
         "recall_protocol": "question",
+        **contention,
         **out,
     }
     if stale:
@@ -931,6 +1053,10 @@ def main():
         stamp = dict(final, recorded_at_utc=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()))
         with open(cached, "w") as f:
             json.dump(stamp, f)
+        # README table regenerates from the SAME dict that was recorded —
+        # they cannot diverge (VERDICT r4 weak #2)
+        if update_readme_table(stamp):
+            log("README scale table regenerated from this run")
     print(json.dumps(final))
 
 
