@@ -760,15 +760,23 @@ def measure_trained_encoder():
     held-out queries + the exact oracle of the trained weights. This just
     searches the cached tier (skipped when absent; the training run is
     offline, ~minutes on the chip)."""
-    tier = os.path.join(CACHE_DIR, "trained20k")
-    prefix = os.path.join(tier, "trained.leann")
-    qp = os.path.join(tier, "queries_question.json")
-    tp = os.path.join(tier, "truth_question.npy")
-    if not (os.path.exists(prefix + ".meta.json") and os.path.exists(qp)
-            and os.path.exists(tp)):
+    # prefer the 100K de-circularized tier (VERDICT r4 #7); fall back to the
+    # legacy 20K one so a half-migrated cache still reports something
+    tier = prefix = None
+    for d in ("trained100k", "trained20k"):
+        t = os.path.join(CACHE_DIR, d)
+        p = os.path.join(t, "trained.leann")
+        if (os.path.exists(p + ".meta.json")
+                and os.path.exists(os.path.join(t, "queries_question.json"))
+                and os.path.exists(os.path.join(t, "truth_question.npy"))):
+            tier, prefix = t, p
+            break
+    if tier is None:
         log("trained-encoder tier skipped: no cached index "
             "(run benchmarks/train_encoder.py)")
         return {}
+    qp = os.path.join(tier, "queries_question.json")
+    tp = os.path.join(tier, "truth_question.npy")
     from leann_tpu import LeannSearcher
 
     queries, truth = json.load(open(qp)), np.load(tp)[:, :3]

@@ -5,9 +5,10 @@ Parity with the reference's benchmarks/run_evaluation.py:18-393: build an
 index, search a query set at several complexities, and report recall@k
 against exact flat ground truth plus average/percentile latency. The
 reference pulls NQ-open eval data from HuggingFace (zero-egress here), so the
-corpus is the Pride & Prejudice fixture (or synthetic) and queries are chunk
-prefixes — the recall protocol (vs flat oracle over identical embeddings,
-run_evaluation.py:358-367) is the same.
+corpus is the Pride & Prejudice fixture (or synthetic) and queries come from
+--query-mode: verbatim prefixes, perturbed windows, or the NL-question
+protocols (bench_common.py) — the recall protocol (vs flat oracle over
+identical embeddings, run_evaluation.py:358-367) is the same.
 
 Usage: python benchmarks/run_evaluation.py [--n-chunks 1000] [--backend hnsw]
        [--top-k 3] [--complexities 16 32 64 120]
@@ -37,9 +38,14 @@ def main():
     ap.add_argument("--max-length", type=int, default=128)
     ap.add_argument("--graph-degree", type=int, default=16)
     ap.add_argument("--index-dir", default=None, help="reuse/build index here instead of a temp dir")
-    ap.add_argument("--query-mode", default="prefix", choices=["prefix", "perturbed"],
+    ap.add_argument("--query-mode", default="prefix",
+                    choices=["prefix", "perturbed", "question", "question_heldout"],
                     help="prefix: verbatim chunk prefixes (self-retrieval); perturbed: "
-                         "held-out dropout/reorder/substitution queries (bench_common.py)")
+                         "held-out dropout/reorder/substitution queries; question: the "
+                         "headline NL-question protocol (QUESTION_TEMPLATES over "
+                         "whole-chunk entities); question_heldout: held-out templates + "
+                         "sibling-paraphrased entities (synthetic corpora only — needs "
+                         "the sibling-group markers)")
     args = ap.parse_args()
 
     chunks = load_corpus(args.n_chunks)
