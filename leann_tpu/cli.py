@@ -154,6 +154,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     rp = sub.add_parser("repack", help="repack an index into the compact v2 storage format")
     rp.add_argument("index_name", help="index name or a literal path prefix ending in .leann")
+    rp.add_argument("--relabel", action="store_true",
+                    help="locality-relabel node ids first (shrinks the packed "
+                         "graph ~40%% and improves HBM gather locality; "
+                         "single-partition indexes only)")
+    rp.add_argument("--cells", type=int, default=0,
+                    help="relabel cell count (0 = auto)")
     return p
 
 
@@ -284,6 +290,13 @@ def cmd_repack(args) -> int:
         print(f"Index '{args.index_name}' not found.", file=sys.stderr)
         return 1
     rep = repack_index(prefix)
+    if getattr(args, "relabel", False):
+        from .repack import relabel_index
+
+        rep2 = relabel_index(prefix, n_cells=args.cells)
+        rep = {"before_bytes": rep["before_bytes"],
+               "after_bytes": rep2["after_bytes"],
+               "steps": rep["steps"] + rep2["steps"]}
     print(f"{rep['before_bytes'] / 1e6:.1f} -> {rep['after_bytes'] / 1e6:.1f} MB "
           f"({len(rep['steps'])} artifacts repacked)")
     return 0

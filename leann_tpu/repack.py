@@ -85,14 +85,126 @@ def repack_index(prefix: str) -> dict:
     return {"before_bytes": before, "after_bytes": after, "steps": steps}
 
 
+def relabel_index(prefix: str, n_cells: int = 0) -> dict:
+    """Locality-relabel an existing single-partition index in place
+    (ops/relabel.py): renumber nodes by proximity cells so the packed
+    graph's sorted-row deltas shrink (measured ~2.4 -> ~1.4 B/edge at 10M)
+    and traversal gathers hit nearby HBM pages. Permutes every per-node
+    artifact (graph rows+values, codes, entries, medoid, embeddings, token
+    caches) and stores the id permutation compactly (storage.py 'perm'
+    format). Search results are identical up to the id mapping, which the
+    searcher resolves through the ids list exactly as before."""
+    from .ops.relabel import (decoded_source, edge_locality, locality_order,
+                              matrix_source)
+    from .storage import load_partition, unpack_neighbors
+
+    path = backend = None
+    for b in ("diskann", "hnsw"):
+        p = f"{prefix}.{b}.npz"
+        if os.path.exists(p):
+            path, backend = p, b
+            break
+    if path is None:
+        raise FileNotFoundError(f"no backend npz for {prefix}")
+    z = dict(np.load(path, allow_pickle=False))
+    nbr = unpack_neighbors(z)
+    n = nbr.shape[0]
+    part = load_partition(prefix, n)
+    if part is not None and part.size and int(part.max()) > 0:
+        raise ValueError(
+            "relabel would break the LDG partition-contiguity relayout of a "
+            "multi-partition index; re-run the build with relabeling instead")
+    before = index_all_in_bytes(prefix)
+    loc_before = edge_locality(nbr)
+
+    if "embeddings" in z:
+        src = matrix_source(np.asarray(z["embeddings"]))
+        d = int(z["embeddings"].shape[1])
+    elif "codes" in z:
+        src = decoded_source(np.asarray(z["codes"]), np.asarray(z["codebooks"]))
+        m, _, ds = z["codebooks"].shape
+        d = int(m * ds)
+    else:
+        raise ValueError("index stores neither embeddings nor PQ codes; "
+                         "no geometry to derive a locality order from")
+    order = locality_order(src, n, d, n_cells=n_cells)
+    if np.array_equal(order, np.arange(n)):
+        return {"before_bytes": before, "after_bytes": before,
+                "steps": ["relabel: corpus too small, identity order"]}
+    new_of_old = np.empty(n, np.int64)
+    new_of_old[order] = np.arange(n)
+
+    nbr2 = np.where(nbr >= 0, new_of_old[np.clip(nbr, 0, n - 1)], -1)[order].astype(np.int32)
+    for k in ("neighbors", "neighbors_packed", "neighbors_n", "neighbors_r"):
+        z.pop(k, None)
+    z.update(pack_neighbors(nbr2))
+    if "codes" in z:
+        z["codes"] = np.asarray(z["codes"])[order]
+    if "embeddings" in z:
+        z["embeddings"] = np.asarray(z["embeddings"])[order]
+    if "entries" in z:
+        # entry_emb rows stay aligned: same physical nodes, same positions
+        z["entries"] = new_of_old[np.asarray(z["entries"])].astype(np.int32)
+    if "medoid" in z:
+        z["medoid"] = np.int32(new_of_old[int(z["medoid"])])
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **z)
+    os.replace(tmp, path)
+
+    old_ids = load_ids(prefix)
+    if old_ids:
+        save_ids(prefix, [old_ids[int(i)] for i in order])
+
+    # token caches: permute to the new row order (block-wise; raw stores are
+    # memmapped, the gather touches pages in cache at repack time)
+    p = token_cache_paths(prefix)
+    if os.path.exists(p["raw"]):
+        tok = np.load(p["raw"], mmap_mode="r")
+        out = np.lib.format.open_memmap(p["raw"] + ".tmp", mode="w+",
+                                        dtype=tok.dtype, shape=tok.shape)
+        step = 1 << 19
+        for s in range(0, n, step):
+            out[s : s + step] = tok[order[s : s + step]]
+        out.flush()
+        del out, tok
+        os.replace(p["raw"] + ".tmp", p["raw"])
+        np.save(p["raw_len"], np.load(p["raw_len"])[order])
+    elif os.path.exists(p["npz"]):
+        zc = np.load(p["npz"])
+        np.savez_compressed(p["npz"], tokens=zc["tokens"][order],
+                            lengths=zc["lengths"][order])
+
+    after = index_all_in_bytes(prefix)
+    loc_after = edge_locality(nbr2)
+    rep = {"before_bytes": before, "after_bytes": after,
+           "edge_locality_64k": {"before": round(loc_before, 4),
+                                 "after": round(loc_after, 4)},
+           "steps": [f"{backend}: locality relabel, {n} rows"]}
+    logger.info("relabel %s: %.1f -> %.1f MB, locality %.3f -> %.3f", prefix,
+                before / 1e6, after / 1e6, loc_before, loc_after)
+    return rep
+
+
 def main(argv=None):
     import argparse
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("prefix", help="index prefix (path up to .leann)")
+    ap.add_argument("--relabel", action="store_true",
+                    help="locality-relabel node ids (ops/relabel.py) before "
+                         "repacking — shrinks the packed graph and improves "
+                         "traversal HBM locality; single-partition indexes only")
+    ap.add_argument("--cells", type=int, default=0,
+                    help="relabel cell count (0 = auto: N/2048 in [64, 8192])")
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     rep = repack_index(args.prefix)
+    if args.relabel:
+        rep2 = relabel_index(args.prefix, n_cells=args.cells)
+        rep = {"before_bytes": rep["before_bytes"],
+               "after_bytes": rep2["after_bytes"],
+               "edge_locality_64k": rep2.get("edge_locality_64k"),
+               "steps": rep["steps"] + rep2["steps"]}
     print(json.dumps(rep))
 
 

@@ -87,12 +87,32 @@ def unpack_neighbors(z) -> np.ndarray:
 
 def save_ids(index_path: str, ids: List[str]) -> None:
     ids = list(ids)
+    n = len(ids)
     seq = all(x == str(i) for i, x in enumerate(ids))
+    perm = None
+    if not seq and n:
+        # permutation-of-seq (the locality relabel reorders rows of a
+        # positional-id corpus): store the i32 array, not 10M JSON strings
+        # (~90 MB at 10M vs 40 MB npy; a permutation is ~log2(N!) bits —
+        # near-incompressible — so npy is the right container)
+        try:
+            arr = np.fromiter((int(x) for x in ids), np.int64, count=n)
+            if arr.min() == 0 and arr.max() == n - 1 and \
+                    np.array_equal(np.sort(arr), np.arange(n)):
+                perm = arr.astype(np.int32)
+        except ValueError:
+            perm = None
+    pnpy = f"{index_path}.ids.perm.npy"
     with open(f"{index_path}.ids.json", "w") as f:
         if seq:
-            json.dump({"format": "seq", "n": len(ids)}, f)
+            json.dump({"format": "seq", "n": n}, f)
+        elif perm is not None:
+            np.save(pnpy, perm)
+            json.dump({"format": "perm", "n": n}, f)
         else:
             json.dump(ids, f)
+    if perm is None and os.path.exists(pnpy):
+        os.remove(pnpy)  # stale sidecar from a pre-relabel artifact
 
 
 def load_ids(index_path: str) -> List[str]:
@@ -102,9 +122,12 @@ def load_ids(index_path: str) -> List[str]:
     with open(path) as f:
         data = json.load(f)
     if isinstance(data, dict):
-        if data.get("format") != "seq":
-            raise ValueError(f"unknown ids format in {path}: {data.get('format')!r}")
-        return [str(i) for i in range(int(data["n"]))]
+        if data.get("format") == "seq":
+            return [str(i) for i in range(int(data["n"]))]
+        if data.get("format") == "perm":
+            arr = np.load(f"{index_path}.ids.perm.npy")
+            return [str(int(i)) for i in arr]
+        raise ValueError(f"unknown ids format in {path}: {data.get('format')!r}")
     return data
 
 

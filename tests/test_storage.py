@@ -185,3 +185,74 @@ class TestRepack:
         # idempotent
         rep2 = repack_index(prefix)
         assert rep2["after_bytes"] == rep["after_bytes"]
+
+
+class TestIdsPermFormat:
+    def test_permutation_roundtrips_compactly(self, tmp_path):
+        from leann_tpu.storage import load_ids, save_ids
+
+        prefix = str(tmp_path / "x.leann")
+        rng = np.random.default_rng(0)
+        order = rng.permutation(5000)
+        ids = [str(int(i)) for i in order]
+        save_ids(prefix, ids)
+        data = json.load(open(f"{prefix}.ids.json"))
+        assert data == {"format": "perm", "n": 5000}
+        assert os.path.exists(f"{prefix}.ids.perm.npy")
+        assert load_ids(prefix) == ids
+        # non-permutation string ids still fall back to a JSON list
+        save_ids(prefix, ["a", "b", "c"])
+        assert load_ids(prefix) == ["a", "b", "c"]
+        assert not os.path.exists(f"{prefix}.ids.perm.npy")  # stale sidecar gone
+
+
+class TestLocalityRelabel:
+    def test_relabel_same_results_smaller_graph(self, tmp_path):
+        """Clustered corpus: the relabeled index must return the SAME texts
+        for the same queries, compress the packed graph, and raise edge
+        locality (ops/relabel.py + repack.relabel_index)."""
+        from leann_tpu import LeannBuilder, LeannSearcher
+        from leann_tpu.ops.relabel import edge_locality
+        from leann_tpu.repack import relabel_index
+        from leann_tpu.storage import unpack_neighbors
+
+        rng = np.random.default_rng(5)
+        n, n_clusters = 3000, 24
+        centers = rng.standard_normal((n_clusters, 24)) * 6
+        # texts whose hash-encoder geometry is clustered: share cluster tokens
+        texts = []
+        for i in range(n):
+            c = int(rng.integers(n_clusters))
+            toks = [f"c{c}w{j}" for j in rng.integers(0, 30, 12)] + [f"u{i}"]
+            texts.append(" ".join(toks))
+        prefix = str(tmp_path / "rl.leann")
+        b = LeannBuilder(backend_name="diskann", embedding_model="hash-tiny",
+                         max_length=32, graph_degree=8,
+                         num_partitions=1)  # single-chip target (the conftest
+        # mesh has 8 virtual devices; relabel refuses partitioned indexes)
+        for t in texts:
+            b.add_text(t)
+        b.build_index(prefix)
+
+        s = LeannSearcher(prefix)
+        queries = [texts[i] for i in (5, 777, 2222)]
+        before_res = [[r.text for r in s.search(q, top_k=3, complexity=32)]
+                      for q in queries]
+        z0 = np.load(f"{prefix}.diskann.npz", allow_pickle=False)
+        size0 = z0["neighbors_packed"].nbytes
+        del s, z0
+
+        rep = relabel_index(prefix, n_cells=n_clusters)
+        z1 = np.load(f"{prefix}.diskann.npz", allow_pickle=False)
+        nbr1 = unpack_neighbors(z1)
+        assert ((nbr1 >= -1) & (nbr1 < n)).all()
+        loc = rep["edge_locality_64k"]
+        # 64K window is the whole corpus here; use a tight window directly
+        assert edge_locality(nbr1, window=512) > 0.5
+        assert z1["neighbors_packed"].nbytes < size0
+
+        s2 = LeannSearcher(prefix)
+        after_res = [[r.text for r in s2.search(q, top_k=3, complexity=32)]
+                     for q in queries]
+        for b_row, a_row in zip(before_res, after_res):
+            assert set(b_row) == set(a_row), (b_row, a_row)
