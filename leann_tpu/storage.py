@@ -172,11 +172,73 @@ def token_cache_paths(index_path: str) -> dict:
         "raw": f"{index_path}.tokens.cache.npy",
         "raw_len": f"{index_path}.lengths.cache.npy",
         "npz": f"{index_path}.tokens.cache.npz",
+        # at-rest archive (chunked zlib, ~0.47x measured on the 10M tier):
+        # cold form for the disk-bounded 60M build lifecycle; inflated back
+        # to the raw memmap on first load
+        "archive": f"{index_path}.tokens.cache.zchunk.npz",
         # legacy (pre-cache) names, still readable
         "legacy_raw": f"{index_path}.tokens.npy",
         "legacy_raw_len": f"{index_path}.lengths.npy",
         "legacy_npz": f"{index_path}.tokens.npz",
     }
+
+
+def archive_token_cache(index_path: str, level: int = 6,
+                        chunk_rows: int = 1 << 17, remove_raw: bool = True) -> dict:
+    """Compress a raw token store to its at-rest archive (~0.47x, measured
+    zlib6 on the 10M tier) and optionally delete the raw npy — the disk-
+    lifecycle tool for 60M-scale builds, where the 7.7 GB token store is not
+    needed until serving. Chunked frames so inflation streams at fixed
+    memory. -> {raw_bytes, archive_bytes}."""
+    p = token_cache_paths(index_path)
+    if not os.path.exists(p["raw"]):
+        raise FileNotFoundError(f"no raw token store at {p['raw']}")
+    tok = np.load(p["raw"], mmap_mode="r")
+    frames = {
+        "shape": np.asarray(tok.shape, np.int64),
+        "dtype": np.frombuffer(str(tok.dtype).encode(), np.uint8),
+        "chunk_rows": np.int64(chunk_rows),
+        "lengths": np.load(p["raw_len"]).astype(np.int32),
+    }
+    for ci, s in enumerate(range(0, tok.shape[0], chunk_rows)):
+        frames[f"c{ci:06d}"] = np.frombuffer(
+            zlib.compress(np.ascontiguousarray(tok[s : s + chunk_rows]).tobytes(), level),
+            np.uint8)
+    tmp = p["archive"] + ".tmp.npz"
+    np.savez(tmp, **frames)
+    os.replace(tmp, p["archive"])
+    raw_bytes = tok.nbytes
+    del tok
+    if remove_raw:
+        os.remove(p["raw"])
+        os.remove(p["raw_len"])
+    out = {"raw_bytes": raw_bytes, "archive_bytes": os.path.getsize(p["archive"])}
+    logger.info("token cache archived: %.2f -> %.2f GB",
+                raw_bytes / 2**30, out["archive_bytes"] / 2**30)
+    return out
+
+
+def _inflate_token_archive(index_path: str) -> bool:
+    """Archive -> raw npy + lengths (one-time at first load). True if done."""
+    p = token_cache_paths(index_path)
+    if not os.path.exists(p["archive"]):
+        return False
+    z = np.load(p["archive"])
+    shape = tuple(int(x) for x in z["shape"])
+    dtype = np.dtype(bytes(z["dtype"]).decode())
+    chunk_rows = int(z["chunk_rows"])
+    out = np.lib.format.open_memmap(p["raw"] + ".tmp", mode="w+",
+                                    dtype=dtype, shape=shape)
+    for ci, s in enumerate(range(0, shape[0], chunk_rows)):
+        rows = min(chunk_rows, shape[0] - s)
+        buf = zlib.decompress(np.asarray(z[f"c{ci:06d}"]).tobytes())
+        out[s : s + rows] = np.frombuffer(buf, dtype).reshape(rows, shape[1])
+    out.flush()
+    del out
+    os.replace(p["raw"] + ".tmp", p["raw"])
+    np.save(p["raw_len"], np.asarray(z["lengths"], np.int32))
+    logger.info("token archive inflated to raw store: %s rows", shape[0])
+    return True
 
 
 def write_token_cache(index_path: str, tok: np.ndarray, lengths: np.ndarray) -> None:
@@ -196,6 +258,8 @@ def load_token_cache(index_path: str) -> "Tuple[np.ndarray, np.ndarray] | None":
     """Load the token matrix from cache or legacy store → (tokens, lengths),
     or None when neither exists. Raw stores come back memmapped."""
     p = token_cache_paths(index_path)
+    if not os.path.exists(p["raw"]) and os.path.exists(p["archive"]):
+        _inflate_token_archive(index_path)  # cold archive -> raw, one-time
     if os.path.exists(p["raw"]):
         return np.load(p["raw"], mmap_mode="r"), np.load(p["raw_len"]).astype(np.int32)
     if os.path.exists(p["npz"]):

@@ -256,3 +256,31 @@ class TestLocalityRelabel:
                      for q in queries]
         for b_row, a_row in zip(before_res, after_res):
             assert set(b_row) == set(a_row), (b_row, a_row)
+
+
+class TestTokenArchive:
+    def test_archive_inflate_roundtrip(self, tmp_path):
+        """At-rest token archive (disk lifecycle for 60M builds): raw ->
+        chunked-zlib archive -> deleted raw; the next load_token_cache
+        inflates back to an identical raw store."""
+        from leann_tpu.storage import (archive_token_cache, load_token_cache,
+                                       token_cache_paths, write_token_cache)
+
+        prefix = str(tmp_path / "t.leann")
+        rng = np.random.default_rng(0)
+        tok = rng.integers(0, 4096, (3000, 32)).astype(np.uint16)
+        # repeated rows make it genuinely compressible like real text tokens
+        tok[1::2] = tok[::2]
+        lengths = rng.integers(1, 32, 3000).astype(np.int32)
+        p = token_cache_paths(prefix)
+        np.save(p["raw"], tok)  # force the raw form even below the npz bound
+        np.save(p["raw_len"], lengths)
+
+        rep = archive_token_cache(prefix, chunk_rows=1024)
+        assert rep["archive_bytes"] < rep["raw_bytes"]
+        assert not os.path.exists(p["raw"])
+
+        got_tok, got_len = load_token_cache(prefix)
+        np.testing.assert_array_equal(np.asarray(got_tok), tok)
+        np.testing.assert_array_equal(got_len, lengths)
+        assert os.path.exists(p["raw"])  # inflated back for memmap serving
