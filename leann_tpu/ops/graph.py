@@ -1886,7 +1886,12 @@ def build_graph(
     if n > EXACT_KNN_MAX_N:
         _trim_host("prune")
 
+    t0 = time.time()
+    logger.info("reverse-edge fill starting (host)")
     out = _fill_reverse_edges(neighbors, np.random.default_rng(0))
+    logger.info("reverse-edge fill done (%.0fs); computing medoid (host-blocked)",
+                time.time() - t0)
     medoid = compute_medoid(emb)
-    logger.info("graph built: N=%d R=%d avg_deg=%.1f medoid=%d", n, r, (out >= 0).mean() * r, medoid)
+    logger.info("graph built: N=%d R=%d avg_deg=%.1f medoid=%d (%.0fs)",
+                n, r, (out >= 0).mean() * r, medoid, time.time() - t0)
     return out, medoid
