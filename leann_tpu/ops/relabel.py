@@ -109,13 +109,17 @@ def locality_order(
                 n_cells, samp.shape[0], time.time() - t0)
 
     assign = np.empty(n, np.int32)
-    for s in range(0, n, block):
+    for bi, s in enumerate(range(0, n, block)):
         e = min(s + block, n)
         rows = source(s, e)
         pad = _bucket_rows(rows.shape[0], 8192)
+        # bf16 upload: the tunnel is ~17 MB/s and assignment is a coarse
+        # argmin — halving the transfer halves the dominant cost at 10M+
         a = np.asarray(_assign_block(
-            jnp.asarray(_pad_rows(rows, pad), jnp.float32), cent, 8192))
+            jnp.asarray(_pad_rows(rows.astype(jnp.bfloat16), pad)), cent, 8192))
         assign[s:e] = a[: e - s]
+        if bi % 16 == 15:
+            logger.info("relabel assign: %d/%d rows (%.0fs)", e, n, time.time() - t0)
     rank = chain_rank(np.asarray(cent))
     order = np.argsort(rank[assign], kind="stable").astype(np.int64)
     logger.info("relabel: %d rows assigned + ordered (%.1fs)", n, time.time() - t0)
