@@ -552,6 +552,24 @@ def measure_scale_tier(dirname, tag,
         extra[f"perturbed_tie_recall_at_3_{tag}"] = round(
             tie_aware_recall(emb_n, pqv, labels_p, ptruth), 4)
 
+    # beyond-HBM serving diagnostic (20M+): one operating point through the
+    # explicit host-token-residency path (PQ traversal on-chip, token store
+    # in host RAM, exact rerank as a second dispatch over host-gathered
+    # rows) — the 60M serving mode, exercised at the largest cached tier
+    # even while its token store still fits HBM (auto threshold is 4 GB)
+    if n >= 15_000_000:
+        sh = LeannSearcher(prefix, token_residency="host")
+        kwh = dict(base, complexity=mid_cx, adaptive_steps=mid_ad)
+        sh.search(cq, **kwh)  # compile warmup
+        t0 = time.time()
+        res_h = sh.search(cq, **kwh)
+        labels_h = [[int(r.id) for r in row] for row in res_h]
+        extra[f"host_residency_batched_ms_per_query_{tag}"] = round(
+            (time.time() - t0) * 1000 / len(cq), 2)
+        extra[f"host_residency_recall_at_3_{tag}"] = round(
+            recall_against(ctruth, labels_h), 4)
+        del sh
+
     best = max(curve, key=lambda p: p.get("tie_recall_at_3", p["recall_at_3"]))
     idx_bytes = index_all_in_bytes(prefix)
     return {
