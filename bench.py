@@ -433,8 +433,25 @@ def measure_dpr21m():
         extra["r48_recall_protocol_dpr21m"] = (
             "question" if "question" in heldout else "prefix")
         extra["r48_index_bytes_dpr21m"] = index_all_in_bytes(r48)
+        # full measurement (diagnostic protocols + single-query p50), so the
+        # variant is promotable to the headline keys without remeasuring
+        for m, (hqm, htm) in heldout.items():
+            if m == "question":
+                continue
+            resm = s48.search(hqm, **kw)
+            extra[f"r48_{m}_recall_at_3_dpr21m"] = round(
+                recall_against(htm, [[int(r.id) for r in row] for row in resm]), 4)
+        res48p = s48.search(queries, **kw)
+        extra["r48_prefix_recall_at_3_dpr21m"] = round(
+            recall_against(truth, [[int(r.id) for r in row] for row in res48p]), 4)
+        lat48 = []
+        for q in queries[:16]:
+            t0 = time.time()
+            s48.search(q, **kw)
+            lat48.append((time.time() - t0) * 1000)
+        extra["r48_p50_wall_ms_dpr21m"] = round(float(np.percentile(lat48, 50)), 2)
 
-    return {
+    out = {
         "n_chunks_dpr": n,
         **extra,
         "prefix_recall_at_3_dpr21m": round(recall_against(truth, labels_b), 4),
@@ -443,6 +460,25 @@ def measure_dpr21m():
         "index_bytes_dpr21m": index_all_in_bytes(prefix),
         "flat_baseline_bytes_dpr21m": n * 384 * 4,
     }
+    # Promotion rule (VERDICT r4 #4): the headline DPR config must beat the
+    # reference's 324 MB (reference README.md:686) AND clear 0.95 question
+    # recall (reference docs/configuration-guide.md:92) SIMULTANEOUSLY.
+    # Once the locality relabel (leann_tpu/repack.py --relabel) shrinks the
+    # R=48 packed graph under that budget, R=48 becomes the headline and the
+    # R=32 measurements move to r32_* keys.
+    if (out.get("r48_recall_protocol_dpr21m") == "question"
+            and out.get("r48_recall_at_3_dpr21m", 0.0) >= 0.95
+            and out.get("r48_index_bytes_dpr21m", 1 << 62) <= 324_000_000):
+        for stem in ("recall_at_3", "perturbed_recall_at_3", "prefix_recall_at_3",
+                     "p50_wall_ms", "batched_ms_per_query", "index_bytes"):
+            k, k48 = f"{stem}_dpr21m", f"r48_{stem}_dpr21m"
+            if k48 in out:
+                out[f"r32_{stem}_dpr21m"] = out[k]
+                out[k] = out.pop(k48)
+        out.pop("r48_recall_protocol_dpr21m", None)
+        out["r32_recall_protocol_dpr21m"] = "question"
+        out["dpr_headline_variant"] = "r48"
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -876,16 +912,18 @@ def render_scale_table(f):
             diag.append(f"prefix {f['prefix_recall_at_3_dpr21m']:.3f}")
         d = f" ({', '.join(diag)})" if diag else ""
         sav = (1 - f["index_bytes_dpr21m"] / f["flat_baseline_bytes_dpr21m"]) * 100
+        hl = ", R=48" if f.get("dpr_headline_variant") == "r48" else ""
         rows.append(
-            f"| **2.1M chunks (DPR scale)** | **{f['recall_at_3_dpr21m']:.3f}**{d} "
+            f"| **2.1M chunks (DPR scale{hl})** | **{f['recall_at_3_dpr21m']:.3f}**{d} "
             f"| {f['batched_ms_per_query_dpr21m']:.1f} ms/q "
             f"| **{mb(f['index_bytes_dpr21m']):.1f} MB vs {gb(f['flat_baseline_bytes_dpr21m']):.2f} GB "
             f"({sav:.1f}% savings)** |")
-    if "r48_recall_at_3_dpr21m" in f:
-        rows.append(
-            f"| 2.1M chunks, R=48 variant | {f['r48_recall_at_3_dpr21m']:.3f} "
-            f"| {f.get('r48_batched_ms_per_query_dpr21m', float('nan')):.1f} ms/q "
-            f"| {mb(f['r48_index_bytes_dpr21m']):.1f} MB |")
+    for vtag, vlabel in (("r48", "R=48"), ("r32", "R=32")):
+        if f"{vtag}_recall_at_3_dpr21m" in f:
+            rows.append(
+                f"| 2.1M chunks, {vlabel} variant | {f[f'{vtag}_recall_at_3_dpr21m']:.3f} "
+                f"| {f.get(f'{vtag}_batched_ms_per_query_dpr21m', float('nan')):.1f} ms/q "
+                f"| {mb(f[f'{vtag}_index_bytes_dpr21m']):.1f} MB |")
     for tag, label in (("10m", "10M chunks"), ("20m", "20M chunks")):
         if f.get(f"recall_at_3_{tag}") is None:
             continue
