@@ -71,6 +71,11 @@ def main():
     ap.add_argument("--mode", default="descent", choices=["descent", "spill"])
     ap.add_argument("--save-cands", default="",
                     help="persist candidate ids (npy) for an offline build")
+    ap.add_argument("--from-state", action="store_true",
+                    help="score the tier dir's nd_state_i.npy descent "
+                         "checkpoint as-is (time-boxed runs: a killed descent "
+                         "leaves resumable state — this measures the recall "
+                         "it had reached without running more rounds)")
     args = ap.parse_args()
 
     from leann_tpu.ops.graph import exact_knn_rows, nn_descent, spill_knn_streamed
@@ -83,7 +88,18 @@ def main():
     # 1-core host, next to the memmapped tier matrix)
     scratch = os.path.expanduser(args.out_dir) if args.out_dir else ""
     t0 = time.time()
-    if args.mode == "descent":
+    state_iter = None
+    if args.from_state:
+        sp = os.path.join(scratch, "nd_state_i.npy")
+        mp = os.path.join(scratch, "nd_state.json")
+        if not os.path.exists(sp):
+            raise SystemExit(f"--from-state: no {sp}")
+        cand = np.load(sp, mmap_mode="r")[:n]
+        args.k = int(cand.shape[1])  # the oracle/denominator follow the state
+        if os.path.exists(mp):
+            state_iter = json.load(open(mp)).get("iter")
+        print(f"scoring checkpointed descent state (iter {state_iter})", flush=True)
+    elif args.mode == "descent":
         cand, _ = nn_descent(emb, args.k, n_iters=args.n_iters,
                              checkpoint_dir=scratch)
     else:
@@ -107,7 +123,7 @@ def main():
         hits_k += len(got & set(truth))
         hits_10 += len(got & set(truth[:k10]))
     out = {
-        "mode": args.mode,
+        "mode": args.mode + ("" if state_iter is None else f"@iter{state_iter}"),
         "n": int(n),
         "k": args.k,
         "sample_rows": int(len(rows)),

@@ -1038,9 +1038,10 @@ def _nn_descent_iter(
     norms: jnp.ndarray,     # f32 [Np]
     nbrs: jnp.ndarray,      # i32 [Np, k], -1 pads
     rev: jnp.ndarray,       # i32 [Np, k] sampled reverse edges (own dispatch)
-    old_dists: jnp.ndarray, # f32 [Np, k] sorted ascending (INF on first round)
+    old_dists: jnp.ndarray, # f32 [Np or chunk, k] sorted ascending (INF on first round)
     n_real: jnp.ndarray,    # scalar i32
     row_start: jnp.ndarray, # scalar i32 — first row of this dispatch chunk
+    od_base: jnp.ndarray,   # scalar i32 — global row of old_dists[0] (0 = full array)
     key: jnp.ndarray,
     k: int,
     k2: int,
@@ -1075,7 +1076,7 @@ def _nn_descent_iter(
         s = row_start + bi * block
         nb = jax.lax.dynamic_slice(nbrs, (s, 0), (block, k))
         rv = jax.lax.dynamic_slice(rev, (s, 0), (block, k))
-        od = jax.lax.dynamic_slice(old_dists, (s, 0), (block, k))
+        od = jax.lax.dynamic_slice(old_dists, (s - od_base, 0), (block, k))
         pe = jax.lax.dynamic_slice(ebf, (s, 0), (block, d))
         pn = jax.lax.dynamic_slice(norms, (s,), (block,))
         hop_seed = jnp.concatenate(
@@ -1207,7 +1208,24 @@ def nn_descent(
         nbrs0 = rng.integers(0, n - 1, size=(n, k)).astype(np.int32)
         nbrs0 = np.where(nbrs0 >= np.arange(n)[:, None], nbrs0 + 1, nbrs0)  # no self
         dists0 = np.full((n, k), np.float32(3.4e38), np.float32)
-    nbrs = jnp.asarray(_pad_rows(nbrs0, np_total, fill=-1))
+    # device-state budget: the resident set is ebf (2 B/elem) + nbrs/rev/
+    # dists (12 B per slot) + the on-device chunk accumulation of the next
+    # round's ids+dists (8 B per slot) — 21.5 GB at 10M×384/k=64 against the
+    # v5e's 16 GB HBM. Above the budget, dists and the round outputs live
+    # HOST-side: old_dists streams in per dispatch (the iter only ever reads
+    # its own rows), outputs are pulled home per chunk, and nbrs is
+    # re-uploaded once per round after the old copy is deleted — device peak
+    # drops to ebf + nbrs + rev (~13.6 GB at 10M).
+    est_dev = np_total * d * 2 + np_total * k * 20
+    budget = float(os.environ.get("LEANN_DESCENT_HBM_BUDGET", 12.5e9))
+    host_state = est_dev > budget
+    if host_state:
+        logger.info("nn_descent: host-resident state (est %.1f GB device > "
+                    "budget %.1f GB)", est_dev / 1e9, budget / 1e9)
+    nbrs_h = _pad_rows(np.asarray(nbrs0, np.int32), np_total, fill=-1)
+    dists_h = _pad_rows(np.asarray(dists0, np.float32), np_total,
+                        fill=np.float32(3.4e38))
+    nbrs = jnp.asarray(nbrs_h)
     # host-side bf16 cast + norms: uploading a padded f32/f16 copy only to
     # cast it on device doubles the HBM high-water (15.4 GB transient at
     # 10M × 384 f16) — near-HBM corpora need the slab to arrive bf16
@@ -1220,7 +1238,7 @@ def nn_descent(
     ebf = jnp.asarray(ebf_h)
     del ebf_h
     norms = jnp.asarray(norms_h)
-    dists = jnp.asarray(_pad_rows(dists0, np_total, fill=np.float32(3.4e38)))
+    dists = None if host_state else jnp.asarray(dists_h)
     base_key = jax.random.key(seed)
     rev_jit = jax.jit(_reverse_edges_device, static_argnames=("cap",))
     # chunk each round's row sweep so no dispatch outlives the tunnel watchdog
@@ -1231,20 +1249,44 @@ def nn_descent(
         t0 = time.time()
         rev_key, it_key = jax.random.split(jax.random.fold_in(base_key, it))
         rev = rev_jit(nbrs, rev_key, cap=k)
-        id_chunks, d_chunks, chgs = [], [], []
-        for s in range(0, np_total, rows_per_dispatch):
-            nb_blocks = min(rows_per_dispatch, np_total - s) // block
-            ids_c, d_c, chg = _nn_descent_iter(
-                ebf, norms, nbrs, rev, dists, jnp.int32(n), jnp.int32(s), it_key,
-                k=k, k2=k2, h=h, n_rand=n_rand, block=block, n_blocks=nb_blocks,
-            )
-            id_chunks.append(ids_c)
-            d_chunks.append(d_c)
-            chgs.append(chg)
-        # chunk outputs stay on device; one scalar sync per round
-        nbrs = id_chunks[0] if len(id_chunks) == 1 else jnp.concatenate(id_chunks)
-        dists = d_chunks[0] if len(d_chunks) == 1 else jnp.concatenate(d_chunks)
-        changed = int(np.asarray(jnp.stack(chgs).sum()))
+        if host_state:
+            changed = 0
+            for s in range(0, np_total, rows_per_dispatch):
+                rows = min(rows_per_dispatch, np_total - s)
+                od_c = jnp.asarray(dists_h[s : s + rows])
+                ids_c, d_c, chg = _nn_descent_iter(
+                    ebf, norms, nbrs, rev, od_c, jnp.int32(n), jnp.int32(s),
+                    jnp.int32(s), it_key,
+                    k=k, k2=k2, h=h, n_rand=n_rand, block=block,
+                    n_blocks=rows // block,
+                )
+                # pull each chunk home immediately (the per-chunk sync is the
+                # point: nothing proportional to N accumulates on device);
+                # the device nbrs stays the OLD round's until the swap below
+                nbrs_h[s : s + rows] = np.asarray(ids_c)
+                dists_h[s : s + rows] = np.asarray(d_c)
+                changed += int(np.asarray(chg))
+            # swap: delete the old device nbrs/rev BEFORE uploading the new
+            # round's nbrs so two [Np, k] copies never coexist in HBM
+            nbrs.delete()
+            rev.delete()
+            nbrs = jnp.asarray(nbrs_h)
+        else:
+            id_chunks, d_chunks, chgs = [], [], []
+            for s in range(0, np_total, rows_per_dispatch):
+                nb_blocks = min(rows_per_dispatch, np_total - s) // block
+                ids_c, d_c, chg = _nn_descent_iter(
+                    ebf, norms, nbrs, rev, dists, jnp.int32(n), jnp.int32(s),
+                    jnp.int32(0), it_key,
+                    k=k, k2=k2, h=h, n_rand=n_rand, block=block, n_blocks=nb_blocks,
+                )
+                id_chunks.append(ids_c)
+                d_chunks.append(d_c)
+                chgs.append(chg)
+            # chunk outputs stay on device; one scalar sync per round
+            nbrs = id_chunks[0] if len(id_chunks) == 1 else jnp.concatenate(id_chunks)
+            dists = d_chunks[0] if len(d_chunks) == 1 else jnp.concatenate(d_chunks)
+            changed = int(np.asarray(jnp.stack(chgs).sum()))
         logger.info(
             "nn_descent iter %d: %.3f%% slots improved (%.2fs)",
             it, 100 * changed / (n * k), time.time() - t0,
@@ -1252,8 +1294,10 @@ def nn_descent(
         if checkpoint_dir and time.time() - t_ckpt > QCKPT_SECS:
             import json as _json
 
-            np.save(nd_i_path + ".tmp.npy", np.asarray(nbrs))
-            np.save(nd_d_path + ".tmp.npy", np.asarray(dists))
+            np.save(nd_i_path + ".tmp.npy",
+                    nbrs_h if host_state else np.asarray(nbrs))
+            np.save(nd_d_path + ".tmp.npy",
+                    dists_h if host_state else np.asarray(dists))
             os.replace(nd_i_path + ".tmp.npy", nd_i_path)
             os.replace(nd_d_path + ".tmp.npy", nd_d_path)
             tmp = nd_meta_path + ".tmp"
@@ -1278,6 +1322,8 @@ def nn_descent(
                 os.remove(p)
             except OSError:
                 pass
+    if host_state:
+        return nbrs_h[:n], dists_h[:n]
     return np.asarray(nbrs)[:n], np.asarray(dists)[:n]
 
 

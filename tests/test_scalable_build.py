@@ -257,6 +257,21 @@ class TestSpillKnnStreamed:
         r_desc, r_exact = rec(g), rec(g2)
         assert r_desc >= r_exact - 0.08, f"descent-built {r_desc} vs exact-built {r_exact}"
 
+    def test_nn_descent_host_state_parity(self, rng, monkeypatch):
+        """The memory-bounded host-resident-state mode (auto above
+        LEANN_DESCENT_HBM_BUDGET — the 10M-scale single-chip regime where
+        device-resident descent state exceeds HBM) must be BIT-identical to
+        the device-resident mode: same per-round candidate streams, same
+        top-k, only the residency of dists/outputs differs."""
+        from leann_tpu.ops import graph as G
+
+        emb = self._clustered(rng)
+        i1, d1 = G.nn_descent(emb, 12, n_iters=3)
+        monkeypatch.setenv("LEANN_DESCENT_HBM_BUDGET", "1000")
+        i2, d2 = G.nn_descent(emb, 12, n_iters=3)
+        assert np.array_equal(i1, i2)
+        assert np.array_equal(d1, d2)
+
 
 class TestPQPrune:
     """The beyond-HBM prune (20M+ rows): candidates decoded on-chip from
