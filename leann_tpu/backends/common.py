@@ -112,6 +112,57 @@ class BaseSearcher:
             return None
         return derive_token_cache(self.index_path, self.embedding_model, self.max_length)
 
+    def load_entry_emb(self, z) -> "np.ndarray | None":
+        """Entry-pool f16 embeddings for exact entry screening, as a
+        DERIVABLE CACHE (the same accounting rule as the token store): from
+        the backend npz when present (legacy / mips indexes), else from
+        ``<prefix>.entries.cache.npy``, else derived by running the entry
+        rows' tokens through the exact recompute pipeline the fused search
+        loop uses (ops/beam_search.py: encode_tokens + cosine normalize) —
+        bit-identical f16 values to the build-time ``data[entries]`` rows,
+        which is the invariant recompute search already depends on. ``leann
+        repack`` moves legacy in-npz pools out to the cache file."""
+        if "entry_emb" in z:
+            return np.asarray(z["entry_emb"])
+        import os
+
+        cache = f"{self.index_path}.entries.cache.npy"
+        if os.path.exists(cache):
+            return np.load(cache)
+        metric = str(z["metric"]) if "metric" in z else self.distance_metric
+        if metric not in ("l2", "cosine") or "entries" not in z:
+            # mips entry pools live in the AUGMENTED build space — not
+            # reconstructable from tokens alone; builds keep them in the npz
+            return None
+        tok = self.load_tokens()
+        if tok is None:
+            return None
+        import jax.numpy as jnp
+
+        from ..embeddings.encoder import encode_tokens
+
+        entries = np.asarray(z["entries"])
+        toks = np.asarray(tok[0][entries], np.int32)
+        lens = np.asarray(tok[1])[entries]
+        mask = np.arange(toks.shape[1])[None, :] < lens[:, None]
+        enc = self.get_encoder()
+        out = None
+        step = 4096
+        for s in range(0, toks.shape[0], step):
+            e = encode_tokens(enc.params, jnp.asarray(toks[s : s + step]),
+                              jnp.asarray(mask[s : s + step]), enc.cfg)
+            if metric == "cosine" and not enc.cfg.normalize:
+                e = e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-12)
+            e = np.asarray(e, np.float16)
+            if out is None:
+                out = np.empty((toks.shape[0], e.shape[1]), np.float16)
+            out[s : s + e.shape[0]] = e
+        tmp = cache + ".tmp.npy"
+        np.save(tmp, out)
+        os.replace(tmp, cache)
+        logger.info("entry pool derived from tokens: %s rows", out.shape[0])
+        return out
+
     def cleanup(self) -> None:
         pass
 

@@ -169,8 +169,15 @@ class DiskannBuilder(LeannBackendBuilderInterface):
             payload["embeddings"] = data
         else:
             # pool embeddings (f16, <=25% of rows by _entry_pool's cap):
-            # exact MXU seed screening
-            payload["entry_emb"] = data[payload["entries"]].astype(np.float16)
+            # exact MXU seed screening. l2/cosine pools are DERIVABLE from
+            # the token cache (BaseSearcher.load_entry_emb) — written to the
+            # .entries.cache sidecar, outside all-in accounting; mips pools
+            # live in the augmented build space and stay in the npz
+            ee = data[payload["entries"]].astype(np.float16)
+            if self.distance_metric in ("l2", "cosine"):
+                np.save(f"{index_path}.entries.cache.npy", ee)
+            else:
+                payload["entry_emb"] = ee
         logger.info("diskann build: persisting %s (codes %.2f GB, packed graph)",
                     f"{index_path}.diskann.npz", codes.nbytes / 2**30)
         np.savez(f"{index_path}.diskann.npz", **payload)
@@ -233,7 +240,8 @@ class DiskannSearcher(BaseSearcher, LeannBackendSearcherInterface):
             cb = lift_codebooks(np.asarray(z["pq_rotation"]), cb)
         self.codebooks = jnp.asarray(cb)
         self.emb = jnp.asarray(z["embeddings"]) if "embeddings" in z else dummy
-        self.entry_emb = jnp.asarray(z["entry_emb"], jnp.bfloat16) if "entry_emb" in z else None
+        ee = self.load_entry_emb(z)  # npz -> .entries.cache.npy -> derived
+        self.entry_emb = jnp.asarray(ee, jnp.bfloat16) if ee is not None else None
         want_sharded = sharded is True or (sharded == "auto" and self._n_devices() > 1)
         self.tokens_host = None
         self.lengths_host = None
@@ -281,7 +289,8 @@ class DiskannSearcher(BaseSearcher, LeannBackendSearcherInterface):
                 lengths=tok[1] if tok else None,
                 codes=np.asarray(z["codes"]),
                 codebooks=np.asarray(cb),
-                entry_emb=np.asarray(z["entry_emb"], np.float32) if "entry_emb" in z else None,
+                entry_emb=(np.asarray(self.entry_emb, np.float32)
+                           if self.entry_emb is not None else None),
             )
             logger.info("diskann searcher sharded over %d devices", mesh.devices.size)
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import logging
 import math
+import os
 from typing import Any, Dict, Optional
 
 import jax.numpy as jnp
@@ -172,8 +173,14 @@ class HnswBuilder(LeannBackendBuilderInterface):
         payload["entries"] = _entry_pool(medoid, n, has_screen)
         if self.is_compact and payload["entries"].shape[0] > N_ENTRY_POINTS:
             # pool embeddings (f16, <=25% of rows by _entry_pool's cap):
-            # exact MXU seed screening
-            payload["entry_emb"] = data[payload["entries"]].astype(np.float16)
+            # exact MXU seed screening. l2/cosine pools are DERIVABLE from
+            # the token cache (BaseSearcher.load_entry_emb) — written to the
+            # .entries.cache sidecar, outside all-in accounting
+            ee = data[payload["entries"]].astype(np.float16)
+            if self.distance_metric in ("l2", "cosine"):
+                np.save(f"{index_path}.entries.cache.npy", ee)
+            else:
+                payload["entry_emb"] = ee
         np.savez(f"{index_path}.hnsw.npz", **payload)
         save_ids(index_path, ids)
         logger.info("hnsw build: N=%d D=%d R=%d compact=%s", n, d, self.m, self.is_compact)
@@ -200,7 +207,8 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
         if cb is not None and "pq_rotation" in z:  # factorized OPQ: lift
             cb = lift_codebooks(np.asarray(z["pq_rotation"]), cb)
         self.codebooks = jnp.asarray(cb) if cb is not None else dummy
-        self.entry_emb = jnp.asarray(z["entry_emb"], jnp.bfloat16) if "entry_emb" in z else None
+        ee = self.load_entry_emb(z)  # npz -> .entries.cache.npy -> derived
+        self.entry_emb = jnp.asarray(ee, jnp.bfloat16) if ee is not None else None
         self.has_pq = "codes" in z
         tok = self.load_tokens()
         if tok is not None:
@@ -236,7 +244,8 @@ class HnswSearcher(BaseSearcher, LeannBackendSearcherInterface):
             lengths=tok[1] if tok else None,
             codes=np.asarray(z["codes"]) if "codes" in z else None,
             codebooks=np.asarray(self.codebooks) if "codebooks" in z else None,
-            entry_emb=np.asarray(z["entry_emb"], np.float32) if "entry_emb" in z else None,
+            entry_emb=(np.asarray(self.entry_emb, np.float32)
+                       if self.entry_emb is not None else None),
         )
         logger.info("hnsw searcher sharded over %d devices", mesh.devices.size)
 
@@ -484,6 +493,11 @@ def insert_hnsw(index_path: str, new_emb: np.ndarray, ef: int = 64, alpha: float
             z["entry_emb"] = np.concatenate(
                 [z["entry_emb"], new_emb[extra - n_old].astype(z["entry_emb"].dtype)]
             )
+        # derivable pool cache (l2/cosine builds): now stale — drop it, the
+        # next load re-derives it covering the appended entries
+        cache = f"{index_path}.entries.cache.npy"
+        if os.path.exists(cache):
+            os.remove(cache)
     np.savez(path, **z)
     logger.info("hnsw insert: %d -> %d nodes (%d rows repaired)",
                 n_old, neighbors.shape[0], touched.size)

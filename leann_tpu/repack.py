@@ -37,19 +37,30 @@ def repack_index(prefix: str) -> dict:
     before = index_all_in_bytes(prefix)
     steps = []
 
-    # backend npz: pack raw neighbor rows
+    # backend npz: pack raw neighbor rows; move the entry pool out to its
+    # derivable cache (BaseSearcher.load_entry_emb regenerates it from the
+    # token cache through the exact recompute pipeline; mips pools live in
+    # the augmented build space and must stay in the npz)
     for backend in ("diskann", "hnsw"):
         path = f"{prefix}.{backend}.npz"
         if not os.path.exists(path):
             continue
         z = dict(np.load(path, allow_pickle=False))
+        changed = False
         if "neighbors" in z:
             nbr = z.pop("neighbors")
             z.update(pack_neighbors(np.asarray(nbr)))
+            changed = True
+            steps.append(f"{backend}: packed neighbors {nbr.shape}")
+        if "entry_emb" in z and str(z.get("metric", "")) in ("l2", "cosine"):
+            ee = np.asarray(z.pop("entry_emb"), np.float16)
+            np.save(f"{prefix}.entries.cache.npy", ee)
+            changed = True
+            steps.append(f"{backend}: entry pool {ee.shape} -> derivable cache")
+        if changed:
             tmp = path + ".tmp.npz"  # savez appends .npz to bare names
             np.savez(tmp, **z)
             os.replace(tmp, path)
-            steps.append(f"{backend}: packed neighbors {nbr.shape}")
 
     # ids: collapse sequential lists
     ids_path = f"{prefix}.ids.json"
@@ -85,15 +96,22 @@ def repack_index(prefix: str) -> dict:
     return {"before_bytes": before, "after_bytes": after, "steps": steps}
 
 
-def relabel_index(prefix: str, n_cells: int = 0) -> dict:
+def relabel_index(prefix: str, n_cells: int = 0,
+                  order: "np.ndarray | None" = None) -> dict:
     """Locality-relabel an existing single-partition index in place
     (ops/relabel.py): renumber nodes by proximity cells so the packed
-    graph's sorted-row deltas shrink (measured ~2.4 -> ~1.4 B/edge at 10M)
-    and traversal gathers hit nearby HBM pages. Permutes every per-node
-    artifact (graph rows+values, codes, entries, medoid, embeddings, token
-    caches) and stores the id permutation compactly (storage.py 'perm'
-    format). Search results are identical up to the id mapping, which the
-    searcher resolves through the ids list exactly as before."""
+    graph's sorted-row deltas shrink and traversal gathers hit nearby HBM
+    pages. NOTE (measured round 5): the win is corpus-dependent — on
+    synthetic sibling-group corpora most graph edges are geometrically
+    unclustered "filler" neighbors whose deltas are incompressible under ANY
+    ordering (DPR 2.1M R=48: 343.9 -> 345.2 MB, locality 0.10 -> 0.17), so
+    measure before adopting; ``unrelabel_index`` inverts a relabel that
+    didn't pay. Permutes every per-node artifact (graph rows+values, codes,
+    entries, medoid, embeddings, token caches) and stores the id permutation
+    compactly (storage.py 'perm' format). Search results are identical up to
+    the id mapping, which the searcher resolves through the ids list exactly
+    as before. ``order`` overrides the geometry-derived ordering (new row j
+    holds old row order[j]) — the undo path."""
     from .ops.relabel import (decoded_source, edge_locality, locality_order,
                               matrix_source)
     from .storage import load_partition, unpack_neighbors
@@ -117,17 +135,22 @@ def relabel_index(prefix: str, n_cells: int = 0) -> dict:
     before = index_all_in_bytes(prefix)
     loc_before = edge_locality(nbr)
 
-    if "embeddings" in z:
-        src = matrix_source(np.asarray(z["embeddings"]))
-        d = int(z["embeddings"].shape[1])
-    elif "codes" in z:
-        src = decoded_source(np.asarray(z["codes"]), np.asarray(z["codebooks"]))
-        m, _, ds = z["codebooks"].shape
-        d = int(m * ds)
+    if order is None:
+        if "embeddings" in z:
+            src = matrix_source(np.asarray(z["embeddings"]))
+            d = int(z["embeddings"].shape[1])
+        elif "codes" in z:
+            src = decoded_source(np.asarray(z["codes"]), np.asarray(z["codebooks"]))
+            m, _, ds = z["codebooks"].shape
+            d = int(m * ds)
+        else:
+            raise ValueError("index stores neither embeddings nor PQ codes; "
+                             "no geometry to derive a locality order from")
+        order = locality_order(src, n, d, n_cells=n_cells)
     else:
-        raise ValueError("index stores neither embeddings nor PQ codes; "
-                         "no geometry to derive a locality order from")
-    order = locality_order(src, n, d, n_cells=n_cells)
+        order = np.asarray(order, np.int64)
+        if order.shape != (n,):
+            raise ValueError(f"explicit order has shape {order.shape}, want ({n},)")
     if np.array_equal(order, np.arange(n)):
         return {"before_bytes": before, "after_bytes": before,
                 "steps": ["relabel: corpus too small, identity order"]}
@@ -185,6 +208,20 @@ def relabel_index(prefix: str, n_cells: int = 0) -> dict:
     return rep
 
 
+def unrelabel_index(prefix: str) -> dict:
+    """Invert a previous locality relabel using the stored id permutation
+    (ids.perm.npy): re-permutes every artifact back to the original row
+    order, restoring sequential ids (and deleting the perm sidecar). For
+    corpora where the relabel measured as a net size loss."""
+    perm_path = f"{prefix}.ids.perm.npy"
+    if not os.path.exists(perm_path):
+        raise FileNotFoundError(f"no {perm_path}: index is not relabeled")
+    perm = np.load(perm_path).astype(np.int64)  # ids[j] == str(perm[j])
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.shape[0])
+    return relabel_index(prefix, order=inv)
+
+
 def main(argv=None):
     import argparse
 
@@ -194,13 +231,17 @@ def main(argv=None):
                     help="locality-relabel node ids (ops/relabel.py) before "
                          "repacking — shrinks the packed graph and improves "
                          "traversal HBM locality; single-partition indexes only")
+    ap.add_argument("--unrelabel", action="store_true",
+                    help="invert a previous --relabel via the stored id "
+                         "permutation (for corpora where it measured larger)")
     ap.add_argument("--cells", type=int, default=0,
                     help="relabel cell count (0 = auto: N/2048 in [64, 8192])")
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     rep = repack_index(args.prefix)
-    if args.relabel:
-        rep2 = relabel_index(args.prefix, n_cells=args.cells)
+    if args.relabel or args.unrelabel:
+        rep2 = (unrelabel_index(args.prefix) if args.unrelabel
+                else relabel_index(args.prefix, n_cells=args.cells))
         rep = {"before_bytes": rep["before_bytes"],
                "after_bytes": rep2["after_bytes"],
                "edge_locality_64k": rep2.get("edge_locality_64k"),

@@ -402,11 +402,23 @@ class TestEntryEmb:
         return prefix
 
     def test_entry_emb_stored_and_aligned(self, rng, tmp_path):
+        import os
+
         for backend in ("hnsw", "diskann"):
             prefix = self._build(rng, tmp_path, backend)
             z = np.load(f"{prefix}.{backend}.npz", allow_pickle=False)
-            assert "entry_emb" in z and z["entry_emb"].dtype == np.float16
-            assert z["entry_emb"].shape[0] == z["entries"].shape[0]
+            cache = f"{prefix}.entries.cache.npy"
+            if str(z["metric"]) in ("l2", "cosine"):
+                # derivable-sidecar contract (round 5): the pool lives in
+                # .entries.cache.npy, outside all-in accounting, regenerable
+                # from the token cache (BaseSearcher.load_entry_emb)
+                assert "entry_emb" not in z.files and os.path.exists(cache)
+                ee = np.load(cache)
+            else:  # mips pools live in the augmented space -> stay in-npz
+                assert "entry_emb" in z.files
+                ee = z["entry_emb"]
+            assert ee.dtype == np.float16
+            assert ee.shape[0] == z["entries"].shape[0]
             assert "embeddings" not in z  # still compact
 
     def test_search_uses_exact_screen(self, rng, tmp_path):

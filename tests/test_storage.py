@@ -257,6 +257,115 @@ class TestLocalityRelabel:
         for b_row, a_row in zip(before_res, after_res):
             assert set(b_row) == set(a_row), (b_row, a_row)
 
+    def test_unrelabel_round_trip(self, tmp_path):
+        """relabel -> unrelabel restores sequential ids (perm sidecar gone)
+        and identical search results throughout (repack.unrelabel_index —
+        the undo for corpora where the relabel measures larger)."""
+        from leann_tpu import LeannBuilder, LeannSearcher
+        from leann_tpu.repack import relabel_index, unrelabel_index
+
+        rng = np.random.default_rng(7)
+        texts = [" ".join(f"w{int(x)}" for x in rng.integers(0, 400, 10)) + f" u{i}"
+                 for i in range(3000)]
+        prefix = str(tmp_path / "rt.leann")
+        b = LeannBuilder(backend_name="diskann", embedding_model="hash-tiny",
+                         max_length=32, graph_degree=8, num_partitions=1)
+        for t in texts:
+            b.add_text(t)
+        b.build_index(prefix)
+
+        def res(q):
+            s = LeannSearcher(prefix)
+            return [(int(r.id), r.text) for r in s.search(q, top_k=3, complexity=32)]
+
+        q = texts[123]
+        r0 = res(q)
+        relabel_index(prefix, n_cells=16)
+        r1 = res(q)
+        unrelabel_index(prefix)
+        r2 = res(q)
+        assert r0 == r1 == r2
+        assert json.load(open(f"{prefix}.ids.json"))["format"] == "seq"
+        assert not os.path.exists(f"{prefix}.ids.perm.npy")
+
+
+class TestEntryPoolCache:
+    def test_pool_is_derivable_sidecar(self, tmp_path):
+        """l2/cosine compact builds write the entry pool to the derivable
+        .entries.cache sidecar (same accounting rule as tokens); deleting it
+        re-derives bit-equivalent values from the token cache through the
+        exact recompute pipeline, with identical search results
+        (backends/common.py load_entry_emb)."""
+        from leann_tpu import LeannBuilder, LeannSearcher
+
+        rng = np.random.default_rng(9)
+        texts = [" ".join(f"w{int(x)}" for x in rng.integers(0, 400, 10)) + f" u{i}"
+                 for i in range(3000)]
+        prefix = str(tmp_path / "ee.leann")
+        b = LeannBuilder(backend_name="diskann", embedding_model="hash-tiny",
+                         max_length=32, graph_degree=8, num_partitions=1,
+                         distance_metric="cosine")
+        for t in texts:
+            b.add_text(t)
+        b.build_index(prefix)
+        z = np.load(f"{prefix}.diskann.npz", allow_pickle=False)
+        assert "entry_emb" not in z.files
+        cache = f"{prefix}.entries.cache.npy"
+        assert os.path.exists(cache)
+
+        def res(q):
+            s = LeannSearcher(prefix)
+            return [(int(r.id), round(float(r.score), 4))
+                    for r in s.search(q, top_k=3, complexity=32)]
+
+        q = texts[42]
+        r_cached = res(q)
+        built = np.load(cache)
+        os.remove(cache)
+        r_derived = res(q)  # triggers derivation + rewrites the cache
+        derived = np.load(cache)
+        assert r_cached == r_derived
+        assert derived.shape == built.shape and derived.dtype == built.dtype
+        assert float(np.abs(built.astype(np.float32)
+                            - derived.astype(np.float32)).max()) < 2e-2
+
+    def test_repack_migrates_legacy_pool(self, tmp_path):
+        """repack_index moves a legacy in-npz entry pool out to the sidecar
+        (l2/cosine only) and search results are unchanged."""
+        from leann_tpu import LeannBuilder, LeannSearcher
+        from leann_tpu.repack import repack_index
+
+        rng = np.random.default_rng(11)
+        texts = [" ".join(f"w{int(x)}" for x in rng.integers(0, 400, 10)) + f" u{i}"
+                 for i in range(3000)]
+        prefix = str(tmp_path / "mig.leann")
+        b = LeannBuilder(backend_name="diskann", embedding_model="hash-tiny",
+                         max_length=32, graph_degree=8, num_partitions=1,
+                         distance_metric="cosine")
+        for t in texts:
+            b.add_text(t)
+        b.build_index(prefix)
+        # simulate a legacy artifact: pool back inside the npz, sidecar gone
+        path = f"{prefix}.diskann.npz"
+        z = dict(np.load(path, allow_pickle=False))
+        z["entry_emb"] = np.load(f"{prefix}.entries.cache.npy")
+        np.savez(path, **z)
+        os.remove(f"{prefix}.entries.cache.npy")
+
+        def res(q):
+            s = LeannSearcher(prefix)
+            return [(int(r.id), r.text) for r in s.search(q, top_k=3, complexity=32)]
+
+        q = texts[7]
+        r0 = res(q)
+        rep = repack_index(prefix)
+        assert any("entry pool" in s for s in rep["steps"])
+        z2 = np.load(path, allow_pickle=False)
+        assert "entry_emb" not in z2.files
+        assert os.path.exists(f"{prefix}.entries.cache.npy")
+        assert rep["after_bytes"] < rep["before_bytes"]
+        assert res(q) == r0
+
 
 class TestTokenArchive:
     def test_archive_inflate_roundtrip(self, tmp_path):
