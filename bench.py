@@ -335,12 +335,12 @@ def measure_dpr21m():
     prefix = ""
     if os.path.isdir(tier):
         metas = [f for f in os.listdir(tier) if f.endswith(".leann.meta.json")
-                 # the R=48 degree variant (dpr_r48.leann) is a deliberately
-                 # SECONDARY index: +2.6 recall points but 343.9 MB all-in vs
-                 # the R=32 tier's 276.5 MB — promoting it by mtime would
-                 # silently trade away the beats-the-reference storage
-                 # headline (324 MB, README.md:686). Measured under r48_*
-                 # keys below instead.
+                 # the R=48 degree variant (dpr_r48.leann) is measured
+                 # separately under r48_* keys below and PROMOTED to the
+                 # headline keys only when it clears the reference's two
+                 # bars simultaneously (>=0.95 question recall AND <=324 MB
+                 # all-in — see the promotion rule at the end of this
+                 # function); mtime-promotion here would skip that check
                  and not f.startswith("dpr_r48.")]
         if len(metas) > 1:
             # a leftover partial build alongside a fresh rebuild: benching the
