@@ -1204,6 +1204,20 @@ def nn_descent(
         # descent starts from repair-only territory
         nbrs0, dists0 = cluster_window_init(emb, k, seed=seed, n_probe=2)
         logger.info("nn_descent cluster init: %.1fs", time.time() - t0)
+        if checkpoint_dir:
+            # the bootstrap is the longest un-checkpointed stretch (~1-2 h at
+            # 10M); persist it as the iter-0 state so a worker wedge during
+            # the first round resumes here instead of re-clustering
+            import json as _json
+
+            np.save(nd_i_path + ".tmp.npy", nbrs0)
+            np.save(nd_d_path + ".tmp.npy", dists0)
+            os.replace(nd_i_path + ".tmp.npy", nd_i_path)
+            os.replace(nd_d_path + ".tmp.npy", nd_d_path)
+            tmp = nd_meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump({"key": nd_key, "iter": 0, "prev_changed": None}, f)
+            os.replace(tmp, nd_meta_path)
     else:
         nbrs0 = rng.integers(0, n - 1, size=(n, k)).astype(np.int32)
         nbrs0 = np.where(nbrs0 >= np.arange(n)[:, None], nbrs0 + 1, nbrs0)  # no self
