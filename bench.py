@@ -487,7 +487,8 @@ def measure_dpr21m():
 # --------------------------------------------------------------------------
 
 def measure_scale_tier(dirname, tag,
-                       points=((512, 128), (1024, 128), (2048, 256), (4096, 256))):
+                       points=((512, 128), (1024, 128), (2048, 256),
+                               (3072, 256), (4096, 256))):
     """Recall/latency curve on a cached scale tier built by
     benchmarks/scale_10m.py --out-dir ~/.cache/leann_tpu_bench/<dirname>
     (resumable; see benchmarks/warm_chain.sh). Skipped when the cache is
@@ -606,7 +607,12 @@ def measure_scale_tier(dirname, tag,
             recall_against(ctruth, labels_h), 4)
         del sh
 
-    best = max(curve, key=lambda p: p.get("tie_recall_at_3", p["recall_at_3"]))
+    # headline point: the CHEAPEST point clearing the reference's 95% bar
+    # (reference docs/configuration-guide.md:92) when one exists, else max
+    # recall — "0.95 @ 46 ms" beats "0.96 @ 161 ms" as the honest headline
+    cleared = [p for p in curve if p["recall_at_3"] >= 0.95]
+    best = (min(cleared, key=lambda p: p["batched_ms_per_query"]) if cleared
+            else max(curve, key=lambda p: p.get("tie_recall_at_3", p["recall_at_3"])))
     idx_bytes = index_all_in_bytes(prefix)
     return {
         f"n_chunks_{tag}": n,
