@@ -859,11 +859,68 @@ def measure_trained_encoder():
 # tiers that may legitimately be absent on a given machine/run; their rows
 # stale-merge from the last successful run (see main)
 STALE_MERGE_TIERS = {
+    "100k": lambda k: k.endswith("_100k") or k == "storage_savings",
     "dpr21m": lambda k: k.endswith("_dpr21m") or k == "n_chunks_dpr",
     "10m": lambda k: k.endswith("_10m"),
     "20m": lambda k: k.endswith("_20m"),
     "trained": lambda k: k.startswith("trained_encoder"),
 }
+
+
+def _tier_prefix_on_disk(tag):
+    """Newest index prefix for a stale tier, mirroring each tier's own
+    discovery rule. None when the tier has no artifact on disk."""
+    if tag == "100k":
+        p = os.path.join(CACHE_DIR, f"s100k_{TIER2_TAG}", "big.leann")
+        return p if os.path.exists(p + ".meta.json") else None
+    dirname = {"dpr21m": "dpr21m_r32", "10m": "s10m", "20m": "s20m"}.get(tag)
+    if not dirname:
+        return None
+    tier = os.path.join(CACHE_DIR, dirname)
+    if not os.path.isdir(tier):
+        return None
+    metas = [f for f in os.listdir(tier) if f.endswith(".leann.meta.json")
+             and not (tag == "dpr21m" and f.startswith("dpr_r48."))]
+    if not metas:
+        return None
+    metas.sort(key=lambda f: os.path.getmtime(os.path.join(tier, f)), reverse=True)
+    return os.path.join(tier, metas[0][: -len(".meta.json")])
+
+
+def refresh_stale_sizes(out, stale):
+    """Stale-merged rows carry RECALL/LATENCY from the last successful TPU
+    run, but artifact SIZES are static facts of files on disk — host-side
+    repacks (entry-pool migration) change them without changing search
+    semantics (pinned by tests/test_storage.py). Recompute index_bytes /
+    savings from the current artifacts so a wedge-night bench can't publish
+    sizes of files that no longer exist in that form. -> refreshed tags."""
+    refreshed = []
+    for tag in stale:
+        prefix = _tier_prefix_on_disk(tag)
+        if not prefix:
+            continue
+        key = "index_bytes_100k" if tag == "100k" else f"index_bytes_{tag}"
+        if key not in out:
+            continue
+        b = index_all_in_bytes(prefix)
+        if b and b != out[key]:
+            out[key] = b
+            flat = out.get(f"flat_baseline_bytes_{tag}",
+                           out.get("flat_baseline_bytes_100k"))
+            if tag == "100k" and "storage_savings" in out and flat:
+                out["storage_savings"] = round(1 - b / flat, 4)
+            elif f"storage_savings_{tag}" in out and flat:
+                out[f"storage_savings_{tag}"] = round(1 - b / flat, 4)
+            refreshed.append(tag)
+        if tag == "dpr21m" and "r48_index_bytes_dpr21m" in out:
+            r48 = os.path.join(CACHE_DIR, "dpr21m_r32", "dpr_r48.leann")
+            if os.path.exists(r48 + ".meta.json"):
+                b48 = index_all_in_bytes(r48)
+                if b48 and b48 != out["r48_index_bytes_dpr21m"]:
+                    out["r48_index_bytes_dpr21m"] = b48
+                    if tag not in refreshed:
+                        refreshed.append(tag)
+    return refreshed
 
 
 def merge_stale_tiers(out, prev):
@@ -886,7 +943,14 @@ def merge_stale_tiers(out, prev):
         # only when it says "question"; the trained tier has no marker
         # convention and merges as-is.
         marker = f"recall_protocol_{tag}"
-        if prev_keys and tag != "trained" and prev_keys.get(marker) != "question":
+        if tag == "100k":
+            # the headline tier carries no per-tier marker; its protocol is
+            # the artifact's top-level recall_protocol
+            if prev_keys and prev.get("recall_protocol") != "question":
+                log("stale-merge: dropping tier '100k' (prev top-level protocol "
+                    f"{prev.get('recall_protocol')!r} != 'question')")
+                continue
+        elif prev_keys and tag != "trained" and prev_keys.get(marker) != "question":
             log(f"stale-merge: dropping tier '{tag}' (prev protocol "
                 f"{prev_keys.get(marker)!r} != 'question')")
             continue
@@ -1071,12 +1135,17 @@ def main():
 
     cached = os.path.join(CACHE_DIR, "last_full_bench.json")
     prev = json.load(open(cached)) if os.path.exists(cached) else {}
-    stale, stamps = ([], {})
-    if not cpu_mode:
-        # a healthy TPU run never silently drops a tier (VERDICT r3 weak #1):
-        # rows whose cache is absent/mid-rebuild merge from the last
-        # successful run, labeled stale with their original timestamps
-        stale, stamps = merge_stale_tiers(out, prev)
+    # a run never silently drops a tier (VERDICT r3 weak #1): rows whose
+    # cache is absent/mid-rebuild — or, in cpu-fallback mode, EVERY scale
+    # tier (the wedge-night case) — merge from the last successful TPU run,
+    # labeled stale with their original timestamps. Artifact SIZES in the
+    # carried rows refresh from the current on-disk files (host-side repacks
+    # change bytes without changing semantics), labeled separately.
+    stale, stamps = merge_stale_tiers(out, prev)
+    sizes_refreshed = refresh_stale_sizes(out, stale)
+    if sizes_refreshed:
+        out["stale_sizes_refreshed"] = sizes_refreshed
+        promote_dpr_variant(out)  # refreshed size may now clear the 324 MB bar
 
     # re-check at the end: a warm-chain rebuild can start mid-bench
     c_end = detect_contention()
