@@ -10,6 +10,7 @@
 setup:
 	pip install -e . --no-deps --no-build-isolation -q  # zero-egress image: no pypi
 	$(MAKE) -C csrc
+	python benchmarks/reseed_bench_cache.py  # no-op unless the wipe took last_full_bench.json
 	@leann --help > /dev/null && echo "setup ok: leann on PATH, csrc built"
 
 # Rebuild the cached bench tiers a fresh machine is missing, SERIALLY (the

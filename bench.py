@@ -1177,6 +1177,11 @@ def main():
             "these tiers' caches were absent or mid-rebuild THIS run; their "
             "rows are the UNCHANGED results of the last successful bench on "
             "this machine (per-tier timestamps in tier_recorded_at_utc)")
+        # a reseeded cache (machine wiped between rounds; see
+        # benchmarks/reseed_bench_cache.py) labels itself — propagate the
+        # provenance so the artifact says exactly where carried rows came from
+        if prev.get("reconstruction"):
+            final["stale_tiers_reconstruction"] = prev["reconstruction"]
     if stamps:
         final["tier_recorded_at_utc"] = stamps
     # The tunneled TPU worker is known to wedge for hours (recovery is
