@@ -460,6 +460,12 @@ def measure_dpr21m():
         "index_bytes_dpr21m": index_all_in_bytes(prefix),
         "flat_baseline_bytes_dpr21m": n * 384 * 4,
     }
+    # label the headline's degree honestly when the tier was built at R=48
+    # directly (the fresh-machine rebuild path) rather than promoted from a
+    # dpr_r48.leann variant
+    deg = meta.get("backend_kwargs", {}).get("graph_degree")
+    if deg == 48:
+        out["dpr_headline_variant"] = "r48"
     return promote_dpr_variant(out)
 
 
